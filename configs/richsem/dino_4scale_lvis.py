@@ -1,0 +1,164 @@
+# DINO 4-scale LVIS baseline (closed-vocab classifier, no CLIP branch).
+# Knob values reproduce the reference training recipe
+# (reference config/RichSem/baseline_4scale.py:1-213); knobs are grouped by
+# subsystem and TPU-specific knobs are added at the end.
+_base_ = ["base_data_aug.py"]
+
+modelname = "richsem"
+
+# ---- task / classes ----------------------------------------------------
+num_classes = 1204          # LVIS v1: 1203 cats + 1 pad slot
+dn_labelbook_size = 1204
+masks = False
+
+# ---- optimization ------------------------------------------------------
+lr = 1e-4
+lr_backbone = 1e-5
+lr_backbone_names = ["backbone.0"]
+lr_linear_proj_names = ["reference_points", "sampling_offsets"]
+lr_linear_proj_mult = 0.1
+param_dict_type = "default"
+batch_size = 2              # per-device
+weight_decay = 1e-4
+epochs = 12
+lr_drop = 11
+lr_drop_list = [33, 45]
+multi_step_lr = False
+onecyclelr = False
+clip_max_norm = 0.1
+save_checkpoint_interval = 1
+eval_interval = 1
+
+# ---- backbone ----------------------------------------------------------
+backbone = "resnet50"
+dilation = False
+return_interm_indices = [1, 2, 3]   # C3, C4, C5
+backbone_freeze_keywords = None
+batch_norm_type = "FrozenBatchNorm2d"
+resnet_pretrain_path = ""
+use_checkpoint = False      # activation checkpointing (jax.checkpoint)
+
+# ---- position encoding -------------------------------------------------
+position_embedding = "sine"
+pe_temperatureH = 20
+pe_temperatureW = 20
+
+# ---- transformer -------------------------------------------------------
+enc_layers = 6
+dec_layers = 6
+hidden_dim = 256
+dim_feedforward = 2048
+nheads = 8
+dropout = 0.0
+pre_norm = False
+transformer_activation = "relu"
+num_queries = 900
+query_dim = 4
+num_feature_levels = 4
+enc_n_points = 4
+dec_n_points = 4
+random_refpoints_xy = False
+fix_refpoints_hw = -1
+decoder_sa_type = "sa"
+decoder_module_seq = ["sa", "ca", "ffn"]
+dec_pred_bbox_embed_share = True
+dec_pred_class_embed_share = True
+use_detached_boxes_dec_out = False
+num_patterns = 0
+dec_layer_number = None
+
+# ---- two-stage query selection ------------------------------------------
+two_stage_type = "standard"
+two_stage_bbox_embed_share = False
+two_stage_class_embed_share = False
+two_stage_learn_wh = False
+two_stage_default_hw = 0.05
+two_stage_keep_all_tokens = False
+embed_init_tgt = True
+enc_cls_agn = False
+two_stage_cls = False
+
+# ---- contrastive denoising (CDN) ----------------------------------------
+use_dn = True
+dn_number = 100
+dn_box_noise_scale = 1.0
+dn_label_noise_ratio = 0.5
+dn_labelbook_reuse_cls = True
+dn_cls_agnostic = False
+check_pos_dn = False
+
+# ---- matching / losses ---------------------------------------------------
+matcher_type = "HungarianMatcher"
+set_cost_class = 2.0
+set_cost_bbox = 5.0
+set_cost_giou = 2.0
+cls_loss_coef = 1.0
+bbox_loss_coef = 5.0
+giou_loss_coef = 2.0
+mask_loss_coef = 1.0
+dice_loss_coef = 1.0
+enc_loss_coef = 1.0
+interm_loss_coef = 1.0
+no_interm_box_loss = False
+focal_alpha = 0.25
+aux_loss = True
+match_unstable_error = True
+
+# ---- federated loss ------------------------------------------------------
+use_fed_loss = True
+use_fed_on_kd = False
+fed_num_sample_cats = 50
+
+# ---- inference -----------------------------------------------------------
+num_select = 300
+nms_iou_threshold = -1
+
+# ---- sampling ------------------------------------------------------------
+use_rfs = True
+rfs_repeat_sh = 0.001
+use_cas = False
+lvis_drop_ratio = 0.0
+
+# ---- EMA -----------------------------------------------------------------
+use_ema = False
+ema_decay = 0.9997
+ema_epoch = 0
+
+# ---- CLIP semantic branch (off in the baseline) ---------------------------
+use_language = False
+use_visual_distill = False
+distill_type = "clip_logits"
+distill_loss_coef = 0.5
+clip_distill_objective = "gt"
+use_dynamic_distill_weight = False
+distill_aux_layers = False
+distill_random_boxes = False
+use_mlp_proj = False
+use_cls_mlp_proj = True
+share_vl_proj = False
+use_cnn_clip = True
+clip_model = "RN50"
+clip_visual_resolution = 224
+use_clip_visual_query = False
+
+# ---- extra weak-label data (off in the baseline) ---------------------------
+use_imagenet = False
+imagenet_use_mosaic = True
+imagenet_path = "DATASET/imagenet-lvis"
+main_weight = 1
+sub_weight = 1
+mask_bbox = False
+mask_giou = False
+mask_labels = False
+as_unlabeled = False
+use_imagenet_pusedo_labels = False
+use_extra_data = False
+extra_data_type = ""
+clip_pusedo_th = 0.05
+
+# ---- TPU execution (no reference equivalent) -------------------------------
+mesh_shape = {"data": -1, "model": 1}   # -1: all remaining devices
+param_dtype = "float32"
+compute_dtype = "bfloat16"
+donate_train_state = True
+profile_dir = ""
