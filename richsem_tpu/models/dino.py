@@ -1,0 +1,513 @@
+"""DINO deformable-DETR detector (flax.linen), the framework's flagship model.
+
+A TPU-first re-design of the reference detector
+(models/richsem/richsem.py:207-887 ``DINO`` +
+models/richsem/deformable_transformer.py ``DeformableTransformer``):
+
+* One functional module owns the whole compute graph — backbone, 4-scale
+  input projections (richsem.py:294-317), 6-layer deformable encoder
+  (deformable_transformer.py:470-618), two-stage 'standard' query selection
+  (:347-393), 6-layer decoder with iterative box refinement (:693-823) —
+  so parameter sharing (the decoder-shared box MLP also refining inside the
+  decoder loop) is plain attribute reuse instead of the reference's
+  post-hoc module grafting (richsem.py:370-382).
+* Everything is static-shaped: padding masks ride along as booleans; the
+  contrastive-denoising queries arrive as fixed-width tensors prepared by
+  :mod:`richsem_tpu.models.dn` and are split off the outputs statically
+  (the reference's ``dn_post_process``, dn_components.py:196-210).
+* Class head is pluggable: a closed-vocab linear classifier
+  (``use_language=False``, richsem.py:352-354) or the CLIP text-embedding
+  dot product (``CLIPAlign.forward_hs``, richsem.py:191-205) where the text
+  embedding bank is an explicit *input* — computed once outside the train
+  step, not module state.
+* Mixed precision: matmul-heavy submodules run in ``compute_dtype``
+  (bfloat16 on TPU); layer norms, attention-weight softmaxes, sampling
+  locations and box arithmetic stay float32.
+
+Output dict (training):
+  ``pred_logits [B,nq,C]``, ``pred_boxes [B,nq,4]`` (final layer),
+  ``aux_outputs`` (first 5 decoder layers), ``interm_outputs`` (encoder
+  two-stage head), ``interm_outputs_for_matching_pre`` (same logits, initial
+  proposals), ``dn_*`` (denoising split, when DN queries are given),
+  ``pred_clip_embed`` (distillation projection, when enabled).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from richsem_tpu.models.layers import FFN, MLP, InputProj, MSDeformAttn
+from richsem_tpu.models.resnet import ResNet
+from richsem_tpu.ops.position_encoding import (
+    gen_sineembed_for_position,
+    sine_position_embedding,
+)
+from richsem_tpu.models.transformer_utils import (
+    encoder_reference_points,
+    flatten_levels,
+    gen_encoder_output_proposals,
+)
+from richsem_tpu.utils.misc import inverse_sigmoid, resize_mask, valid_ratios
+
+
+@dataclasses.dataclass(frozen=True)
+class DINOConfig:
+    """Static architecture knobs (values mirror configs/richsem/*)."""
+
+    num_classes: int = 1204
+    hidden_dim: int = 256
+    nheads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+    activation: str = "relu"
+    num_queries: int = 900
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    backbone: str = "resnet50"
+    return_strides: Tuple[int, ...] = (8, 16, 32)
+    pe_temperature_h: float = 20.0
+    pe_temperature_w: float = 20.0
+    # two-stage
+    two_stage_type: str = "standard"
+    embed_init_tgt: bool = True
+    # class head
+    use_language: bool = False
+    clip_embed_dim: int = 1024  # CLIP RN50 text/visual joint dim
+    use_cls_mlp_proj: bool = True
+    use_mlp_proj: bool = False
+    use_visual_distill: bool = False
+    # dn
+    dn_labelbook_size: int = 1204
+    dn_labelbook_reuse_cls: bool = True
+    # precision
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg) -> "DINOConfig":
+        compute_dtype = {
+            "float32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+        }[getattr(cfg, "compute_dtype", "float32")]
+        return cls(
+            num_classes=cfg.num_classes,
+            hidden_dim=cfg.hidden_dim,
+            nheads=cfg.nheads,
+            enc_layers=cfg.enc_layers,
+            dec_layers=cfg.dec_layers,
+            dim_feedforward=cfg.dim_feedforward,
+            dropout=cfg.dropout,
+            activation=cfg.transformer_activation,
+            num_queries=cfg.num_queries,
+            num_feature_levels=cfg.num_feature_levels,
+            enc_n_points=cfg.enc_n_points,
+            dec_n_points=cfg.dec_n_points,
+            backbone=cfg.backbone,
+            pe_temperature_h=cfg.pe_temperatureH,
+            pe_temperature_w=cfg.pe_temperatureW,
+            two_stage_type=cfg.two_stage_type,
+            embed_init_tgt=cfg.embed_init_tgt,
+            use_language=cfg.use_language,
+            use_cls_mlp_proj=cfg.use_cls_mlp_proj,
+            use_mlp_proj=cfg.use_mlp_proj,
+            use_visual_distill=cfg.use_visual_distill,
+            dn_labelbook_size=cfg.dn_labelbook_size,
+            dn_labelbook_reuse_cls=cfg.dn_labelbook_reuse_cls,
+            compute_dtype=compute_dtype,
+        )
+
+
+_CLS_BIAS = -math.log((1 - 0.01) / 0.01)  # focal prior, richsem.py:332-334
+
+
+class DeformableEncoderLayer(nn.Module):
+    cfg: DINOConfig
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes, pad_mask,
+                 deterministic=True):
+        c = self.cfg
+        attn_out = MSDeformAttn(
+            d_model=c.hidden_dim, n_levels=c.num_feature_levels,
+            n_heads=c.nheads, n_points=c.enc_n_points,
+            compute_dtype=c.compute_dtype, name="self_attn",
+        )(src + pos, reference_points, src, spatial_shapes, pad_mask)
+        attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
+        src = nn.LayerNorm(name="norm1")(src + attn_out)
+        return FFN(
+            d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
+            activation=c.activation, compute_dtype=c.compute_dtype, name="ffn",
+        )(src, deterministic=deterministic)
+
+
+class DeformableDecoderLayer(nn.Module):
+    """self-attn → deformable cross-attn → FFN (decoder_module_seq default)."""
+
+    cfg: DINOConfig
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points_input, memory,
+                 spatial_shapes, memory_pad_mask, self_attn_mask=None,
+                 deterministic=True):
+        c = self.cfg
+        # --- self attention (masked for DN group isolation) ---
+        q = k = tgt + query_pos
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=c.nheads, qkv_features=c.hidden_dim,
+            dropout_rate=c.dropout, deterministic=deterministic,
+            dtype=c.compute_dtype, name="self_attn",
+        )(inputs_q=q, inputs_k=k, inputs_v=tgt, mask=self_attn_mask)
+        tgt = nn.LayerNorm(name="norm2")(tgt + sa)
+        # --- deformable cross attention ---
+        ca = MSDeformAttn(
+            d_model=c.hidden_dim, n_levels=c.num_feature_levels,
+            n_heads=c.nheads, n_points=c.dec_n_points,
+            compute_dtype=c.compute_dtype, name="cross_attn",
+        )(tgt + query_pos, reference_points_input, memory, spatial_shapes,
+          memory_pad_mask)
+        ca = nn.Dropout(c.dropout)(ca, deterministic=deterministic)
+        tgt = nn.LayerNorm(name="norm1")(tgt + ca)
+        # --- ffn ---
+        return FFN(
+            d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
+            activation=c.activation, compute_dtype=c.compute_dtype, name="ffn",
+        )(tgt, deterministic=deterministic)
+
+
+class ClipAlignHead(nn.Module):
+    """Open-vocab classifier: CLIP text dot-product (CLIPAlign semantics).
+
+    Mirrors CLIPAlign.forward_hs (richsem.py:191-205): project query
+    features into the CLIP joint space (``dino_visual_proj`` — a 4-layer MLP
+    when ``use_cls_mlp_proj & use_mlp_proj``, else a bias-free linear,
+    richsem.py:100-112), L2-normalize both sides, scale by exp(logit_scale)
+    (frozen at the CLIP value via the optimizer mask, richsem.py:92-95).
+    """
+
+    cfg: DINOConfig
+    use_mlp: bool = False
+
+    @nn.compact
+    def __call__(self, hs: jnp.ndarray, text_embed: jnp.ndarray):
+        c = self.cfg
+        ld = c.clip_embed_dim
+        init = nn.initializers.normal(ld**-0.5)
+        if self.use_mlp:
+            v = MLP(c.hidden_dim, ld, 4, last_kernel_init=init,
+                    last_bias_init=nn.initializers.zeros,
+                    name="dino_visual_proj")(hs)
+        else:
+            v = nn.Dense(ld, use_bias=False, kernel_init=init,
+                         name="dino_visual_proj")(hs)
+        v = v.astype(jnp.float32)
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
+        t = text_embed.astype(jnp.float32)
+        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(math.log(1 / 0.07)), ()
+        )
+        return jnp.exp(logit_scale) * (v @ t.T)
+
+
+class DINO(nn.Module):
+    cfg: DINOConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.backbone not in ("resnet50", "resnet101"):
+            raise NotImplementedError(c.backbone)
+        blocks = (3, 4, 6, 3) if c.backbone == "resnet50" else (3, 4, 23, 3)
+        self.backbone = ResNet(
+            block_counts=blocks, return_strides=c.return_strides, name="backbone"
+        )
+        n_backbone = len(c.return_strides)
+        self.input_projs = [
+            InputProj(c.hidden_dim, extra_level=(i >= n_backbone),
+                      name=f"input_proj{i}")
+            for i in range(c.num_feature_levels)
+        ]
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (c.num_feature_levels, c.hidden_dim),
+        )
+        self.encoder_layers = [
+            DeformableEncoderLayer(c, name=f"encoder_layer{i}")
+            for i in range(c.enc_layers)
+        ]
+        self.decoder_layers = [
+            DeformableDecoderLayer(c, name=f"decoder_layer{i}")
+            for i in range(c.dec_layers)
+        ]
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        # two-stage machinery
+        self.enc_output = nn.Dense(c.hidden_dim, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0),
+            (c.num_queries, c.hidden_dim),
+        )
+        self.ref_point_head = MLP(c.hidden_dim, c.hidden_dim, 2,
+                                  name="ref_point_head")
+        # shared decoder box head (dec_pred_bbox_embed_share=True) with
+        # zero-init final layer (richsem.py:330-335)
+        self.bbox_embed = MLP(
+            c.hidden_dim, 4, 3,
+            last_kernel_init=nn.initializers.zeros,
+            last_bias_init=nn.initializers.zeros,
+            name="bbox_embed",
+        )
+        # separate encoder-output box head (two_stage_bbox_embed_share=False)
+        self.enc_out_bbox_embed = MLP(
+            c.hidden_dim, 4, 3,
+            last_kernel_init=nn.initializers.zeros,
+            last_bias_init=nn.initializers.zeros,
+            name="enc_out_bbox_embed",
+        )
+        # shared decoder class head (dec_pred_class_embed_share=True);
+        # separate encoder-output class head (two_stage_class_embed_share=False)
+        if c.use_language:
+            self.class_embed = ClipAlignHead(
+                c, use_mlp=c.use_cls_mlp_proj and c.use_mlp_proj,
+                name="class_embed")
+            self.enc_out_class_embed = ClipAlignHead(
+                c, use_mlp=False, name="enc_out_class_embed")
+        else:
+            # explicit kernel/bias so the DN label encoder can tie to them
+            # (dn_labelbook_reuse_cls, richsem.py:386-395)
+            self.cls_kernel = self.param(
+                "cls_kernel", nn.initializers.lecun_normal(),
+                (c.hidden_dim, c.num_classes))
+            self.cls_bias = self.param(
+                "cls_bias", nn.initializers.constant(_CLS_BIAS),
+                (c.num_classes,))
+            self.enc_cls_kernel = self.param(
+                "enc_cls_kernel", nn.initializers.lecun_normal(),
+                (c.hidden_dim, c.num_classes))
+            self.enc_cls_bias = self.param(
+                "enc_cls_bias", nn.initializers.constant(_CLS_BIAS),
+                (c.num_classes,))
+        if not c.dn_labelbook_reuse_cls:
+            self.label_enc_table = self.param(
+                "label_enc", nn.initializers.normal(1.0),
+                (c.dn_labelbook_size + 1, c.hidden_dim),
+            )
+        elif c.use_language:
+            # label_proj maps CLIP text embeds → hidden (richsem.py:120-122)
+            self.label_proj = nn.Dense(
+                c.hidden_dim, use_bias=False,
+                kernel_init=nn.initializers.normal(c.clip_embed_dim**-0.5),
+                name="label_proj",
+            )
+        if c.use_visual_distill:
+            init = nn.initializers.normal(c.clip_embed_dim**-0.5)
+            if c.use_mlp_proj:
+                self.clip_visual_proj = MLP(
+                    c.hidden_dim, c.clip_embed_dim, 4,
+                    last_kernel_init=init, name="clip_visual_proj")
+            else:
+                self.clip_visual_proj = nn.Dense(
+                    c.clip_embed_dim, use_bias=False, kernel_init=init,
+                    name="clip_visual_proj")
+
+    # ------------------------------------------------------------------
+    def _class_logits(self, h, text_embed, enc: bool = False):
+        c = self.cfg
+        if c.use_language:
+            head = self.enc_out_class_embed if enc else self.class_embed
+            return head(h, text_embed)
+        k = self.enc_cls_kernel if enc else self.cls_kernel
+        bias = self.enc_cls_bias if enc else self.cls_bias
+        return h.astype(jnp.float32) @ k + bias
+
+    def encode_dn_labels(
+        self, labels: jnp.ndarray, text_embed: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """DN label → content embedding.
+
+        Three reference modes (richsem.py:386-395): a dedicated embedding
+        table; reuse of the classifier weights (closed-vocab); or
+        label_proj(text_embed) (open-vocab).
+        """
+        c = self.cfg
+        if not c.dn_labelbook_reuse_cls:
+            return self.label_enc_table[jnp.clip(labels, 0, c.dn_labelbook_size)]
+        labels = jnp.clip(labels, 0, c.num_classes - 1)
+        if c.use_language:
+            table = self.label_proj(text_embed)  # [C, hidden]
+            return table[labels]
+        # reuse the linear classifier weights: kernel [hidden, C] → [C, hidden]
+        return self.cls_kernel.T[labels]
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        images: jnp.ndarray,  # [B, H, W, 3] normalized
+        pad_mask: jnp.ndarray,  # [B, H, W] True on padding
+        dn_labels: Optional[jnp.ndarray] = None,  # [B, Ndn] int32
+        dn_boxes_unsig: Optional[jnp.ndarray] = None,  # [B, Ndn, 4]
+        dn_attn_mask: Optional[jnp.ndarray] = None,  # [B, QT, QT] True=attend
+        text_embed: Optional[jnp.ndarray] = None,  # [C, l_dim]
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        c = self.cfg
+        b = images.shape[0]
+        deterministic = not train or c.dropout == 0.0
+
+        # ---- backbone + projections ----------------------------------
+        feats = self.backbone(images.astype(c.compute_dtype))
+        srcs = [proj(f) for proj, f in zip(self.input_projs, feats)]
+        for i in range(len(feats), c.num_feature_levels):
+            srcs.append(self.input_projs[i](srcs[-1] if i > len(feats) else feats[-1]))
+        masks = [resize_mask(pad_mask, s.shape[1:3]) for s in srcs]
+        poss = [
+            sine_position_embedding(
+                m, c.hidden_dim // 2, c.pe_temperature_h, c.pe_temperature_w
+            )
+            for m in masks
+        ]
+
+        src_flat, mask_flat, pos_flat, spatial_shapes = flatten_levels(
+            srcs, masks, poss, self.level_embed
+        )
+        src_flat = src_flat.astype(jnp.float32)
+        # per-level valid ratios (reference computes per level-mask)
+        vr = jnp.stack([valid_ratios(m) for m in masks], axis=1)  # [B, L, 2]
+
+        # ---- encoder ---------------------------------------------------
+        enc_ref = encoder_reference_points(spatial_shapes, vr)
+        memory = src_flat
+        for layer in self.encoder_layers:
+            memory = layer(memory, pos_flat, enc_ref, spatial_shapes,
+                           mask_flat, deterministic)
+
+        # ---- two-stage query selection ----------------------------------
+        out: Dict[str, Any] = {}
+        if c.two_stage_type != "standard":
+            raise NotImplementedError(c.two_stage_type)
+        out_memory, out_props_unsig, prop_valid = gen_encoder_output_proposals(
+            memory, mask_flat, spatial_shapes
+        )
+        out_memory = self.enc_output_norm(self.enc_output(out_memory))
+        enc_class_unsel = self._class_logits(out_memory, text_embed, enc=True)
+        enc_coord_unsel = (
+            self.enc_out_bbox_embed(out_memory).astype(jnp.float32)
+            + out_props_unsig
+        )
+        # top-k proposals by max class logit; invalid proposals excluded
+        topk_scores = jnp.where(
+            prop_valid, enc_class_unsel.max(-1), -jnp.inf
+        )
+        _, topk_idx = jax.lax.top_k(topk_scores, c.num_queries)  # [B, nq]
+        gather = lambda x: jnp.take_along_axis(
+            x, topk_idx[..., None], axis=1
+        )
+        ref_undetach = gather(enc_coord_unsel)  # [B, nq, 4] unsigmoid
+        refpoints_unsig = jax.lax.stop_gradient(ref_undetach)
+        init_box_proposal = nn.sigmoid(gather(out_props_unsig))
+        tgt_undetach = gather(out_memory)
+        if c.embed_init_tgt:
+            tgt = jnp.broadcast_to(
+                self.tgt_embed[None], (b, c.num_queries, c.hidden_dim)
+            )
+        else:
+            tgt = jax.lax.stop_gradient(tgt_undetach)
+
+        # ---- prepend DN queries -----------------------------------------
+        num_dn = 0
+        if dn_labels is not None:
+            num_dn = dn_labels.shape[1]
+            dn_tgt = self.encode_dn_labels(dn_labels, text_embed)
+            tgt = jnp.concatenate([dn_tgt, tgt], axis=1)
+            refpoints_unsig = jnp.concatenate(
+                [dn_boxes_unsig.astype(jnp.float32), refpoints_unsig], axis=1
+            )
+        qt = tgt.shape[1]
+        self_attn_mask = None
+        if dn_attn_mask is not None:
+            self_attn_mask = dn_attn_mask[:, None, :, :]  # [B, 1, QT, QT]
+
+        # ---- decoder with iterative box refinement ----------------------
+        ref = nn.sigmoid(refpoints_unsig)  # [B, QT, 4]
+        references = [ref]
+        hs_layers = []
+        for layer in self.decoder_layers:
+            ref_input = ref[:, :, None, :] * jnp.concatenate([vr, vr], -1)[:, None]
+            query_sine = gen_sineembed_for_position(
+                ref_input[:, :, 0, :], c.hidden_dim // 2
+            )
+            query_pos = self.ref_point_head(query_sine)
+            tgt = layer(
+                tgt, query_pos, ref_input, memory, spatial_shapes, mask_flat,
+                self_attn_mask, deterministic,
+            )
+            # refinement uses the un-normed layer output
+            # (deformable_transformer.py:787-790); per-layer heads below use
+            # the normed output (:812)
+            delta = self.bbox_embed(tgt).astype(jnp.float32)
+            new_ref = nn.sigmoid(delta + inverse_sigmoid(ref))
+            references.append(new_ref)  # use_detached_boxes_dec_out=False
+            ref = jax.lax.stop_gradient(new_ref)
+            hs_layers.append(self.decoder_norm(tgt))
+
+        # ---- per-layer outputs ------------------------------------------
+        all_coords = []
+        all_logits = []
+        for lid, (h, r) in enumerate(zip(hs_layers, references[:-1])):
+            coord = nn.sigmoid(
+                self.bbox_embed(h).astype(jnp.float32) + inverse_sigmoid(r)
+            )
+            all_coords.append(coord)
+            all_logits.append(self._class_logits(h, text_embed))
+
+        if c.use_visual_distill:
+            # project final-layer (and aux) queries into CLIP space
+            clip_hs = [self.clip_visual_proj(h).astype(jnp.float32)
+                       for h in hs_layers]
+            clip_hs = [
+                h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-9)
+                for h in clip_hs
+            ]
+            out["pred_clip_embed"] = clip_hs[-1][:, num_dn:]
+            out["dn_pred_clip_embed"] = clip_hs[-1][:, :num_dn]
+
+        def split(x):
+            return x[:, :num_dn], x[:, num_dn:]
+
+        dn_logits, logits = zip(*[split(l) for l in all_logits])
+        dn_coords, coords = zip(*[split(cd) for cd in all_coords])
+
+        out["pred_logits"] = logits[-1]
+        out["pred_boxes"] = coords[-1]
+        out["aux_outputs"] = [
+            {"pred_logits": l, "pred_boxes": cd}
+            for l, cd in zip(logits[:-1], coords[:-1])
+        ]
+        if num_dn:
+            out["dn_outputs"] = {
+                "pred_logits": dn_logits[-1],
+                "pred_boxes": dn_coords[-1],
+                "aux_outputs": [
+                    {"pred_logits": l, "pred_boxes": cd}
+                    for l, cd in zip(dn_logits[:-1], dn_coords[:-1])
+                ],
+            }
+        # encoder (interm) outputs — richsem.py:789-795
+        interm_class = gather(enc_class_unsel)
+        out["interm_outputs"] = {
+            "pred_logits": interm_class,
+            "pred_boxes": nn.sigmoid(ref_undetach),
+        }
+        out["interm_outputs_for_matching_pre"] = {
+            "pred_logits": interm_class,
+            "pred_boxes": init_box_proposal,
+        }
+        out["hs"] = hs_layers[-1][:, num_dn:]
+        return out

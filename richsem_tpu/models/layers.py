@@ -1,0 +1,175 @@
+"""Shared neural layers: MLP, deformable-attention module, input projections.
+
+Parity targets:
+  * ``MLP`` — reference models/richsem/utils.py:110-122 (relu between layers,
+    none after the last).
+  * ``MSDeformAttn`` — the module surface of the reference CUDA op
+    (ops/modules/ms_deform_attn.py:30-115): linear heads for sampling
+    offsets / attention weights / value / output, with the directional
+    ring bias init for offsets (ms_deform_attn.py:62-76). The core sampling
+    runs through :mod:`richsem_tpu.ops.ms_deform_attn` instead of CUDA.
+  * ``InputProj`` — the 1×1-conv + GroupNorm(32) multi-scale input
+    projections, plus the extra 3×3-stride-2 level from C5
+    (richsem.py:294-317).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from richsem_tpu.ops.ms_deform_attn import (
+    compute_sampling_locations,
+    ms_deform_attn,
+)
+
+
+class MLP(nn.Module):
+    """n-layer perceptron; relu between layers, no activation after last."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    last_kernel_init: Optional[nn.initializers.Initializer] = None
+    last_bias_init: Optional[nn.initializers.Initializer] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f"layer{i}")(x))
+        kwargs = {}
+        if self.last_kernel_init is not None:
+            kwargs["kernel_init"] = self.last_kernel_init
+        if self.last_bias_init is not None:
+            kwargs["bias_init"] = self.last_bias_init
+        return nn.Dense(self.out_dim, name=f"layer{self.num_layers - 1}", **kwargs)(x)
+
+
+def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.ndarray:
+    """Ring init: head m points along angle 2πm/M, point p at radius p+1.
+
+    Mirrors the reference's sampling_offsets bias init
+    (ops/modules/ms_deform_attn.py:63-70).
+    """
+    thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [M, 2]
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for p in range(n_points):
+        grid[:, :, p, :] *= p + 1
+    return grid.reshape(-1)
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention module (learned heads + sampler)."""
+
+    d_model: int = 256
+    n_levels: int = 4
+    n_heads: int = 8
+    n_points: int = 4
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Q, C]
+        reference_points: jnp.ndarray,  # [B, Q, L, 2|4], sigmoid space
+        value_src: jnp.ndarray,  # [B, S, C]
+        spatial_shapes: Sequence[Tuple[int, int]],
+        key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True=pad
+    ) -> jnp.ndarray:
+        if self.d_model % self.n_heads:
+            raise ValueError("d_model must divide n_heads")
+        b, q, _ = query.shape
+        s = value_src.shape[1]
+        m, l, p = self.n_heads, self.n_levels, self.n_points
+        head_dim = self.d_model // m
+
+        value = nn.Dense(
+            self.d_model,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="value_proj",
+            dtype=self.compute_dtype,
+        )(value_src)
+        if key_padding_mask is not None:
+            value = jnp.where(key_padding_mask[..., None], 0.0, value)
+        value = value.reshape(b, s, m, head_dim)
+
+        offsets = nn.Dense(
+            m * l * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(
+                _directional_offset_bias(m, l, p), jnp.float32
+            ),
+            name="sampling_offsets",
+        )(query.astype(jnp.float32)).reshape(b, q, m, l, p, 2)
+        attn = nn.Dense(
+            m * l * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query.astype(jnp.float32)).reshape(b, q, m, l * p)
+        attn = nn.softmax(attn, axis=-1).reshape(b, q, m, l, p)
+
+        loc = compute_sampling_locations(
+            reference_points.astype(jnp.float32), offsets, spatial_shapes, p
+        )
+        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        return nn.Dense(
+            self.d_model,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name="output_proj",
+            dtype=self.compute_dtype,
+        )(out)
+
+
+class InputProj(nn.Module):
+    """1×1 conv + GroupNorm(32) level projection (or 3×3 s2 for the extra
+    level), xavier-uniform kernel / zero bias (richsem.py:294-317, 448-452)."""
+
+    hidden_dim: int = 256
+    extra_level: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.extra_level:
+            x = nn.Conv(
+                self.hidden_dim,
+                (3, 3),
+                strides=(2, 2),
+                padding=[(1, 1), (1, 1)],
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.hidden_dim,
+                (1, 1),
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="conv",
+            )(x)
+        return nn.GroupNorm(num_groups=32, name="norm")(x)
+
+
+class FFN(nn.Module):
+    """Transformer feed-forward block with residual + LayerNorm."""
+
+    d_model: int
+    d_ffn: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+        h = nn.Dense(self.d_ffn, dtype=self.compute_dtype, name="linear1")(x)
+        h = act(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, dtype=self.compute_dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(name="norm")(x + h)

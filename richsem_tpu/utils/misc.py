@@ -76,6 +76,21 @@ def downsample_mask(mask: jnp.ndarray, stride: int) -> jnp.ndarray:
     return m.all(axis=(2, 4))
 
 
+def resize_mask(mask: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize of a [B,H,W] bool mask to (h, w).
+
+    Mirrors the reference's per-level mask production
+    (``F.interpolate(mask.float(), size=feat_hw)`` → bool, nearest mode;
+    backbone.py:83-92 and richsem.py:606-607): sample index
+    ``floor(i * H / h)``.
+    """
+    b, h0, w0 = mask.shape
+    h, w = hw
+    ys = jnp.floor(jnp.arange(h) * (h0 / h)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(w) * (w0 / w)).astype(jnp.int32)
+    return mask[:, ys][:, :, xs]
+
+
 def valid_ratios(mask: jnp.ndarray) -> jnp.ndarray:
     """[B,H,W] padding mask → [B,2] (w_ratio, h_ratio) of valid content.
 
