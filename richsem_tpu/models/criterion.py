@@ -1,0 +1,426 @@
+"""Set-prediction criterion: matching + focal/L1/GIoU (+DN, aux, interm, fed).
+
+Capability parity with the reference ``SetCriterion``
+(models/richsem/richsem.py:890-1306) and its loss-weight matrix
+(richsem.py:1467-1509), rebuilt as pure functions over *padded* targets:
+
+* targets are ``labels [B,G] / boxes [B,G,4] / valid [B,G]`` — the static
+  replacement for the reference's ragged per-image dicts;
+* matching runs fully on device (:mod:`richsem_tpu.models.matcher`);
+* ``num_boxes`` — the reference's cross-worker ``all_reduce / world_size``
+  (richsem.py:1142-1147) — is the *global* valid-GT count under GSPMD,
+  computed from the global batch inside one jit (same gradients as the
+  reference's per-worker mean + DDP grad averaging);
+* federated loss (fed_loss.py:6-26): the per-call multinomial sample of
+  classes becomes a Gumbel-top-k (exact weighted sampling without
+  replacement) with appeared classes forced in — static 50-wide;
+* DN losses use the CDN meta from :mod:`richsem_tpu.models.dn`: positives
+  supervise class+box at their fabricated slots, everything else in the DN
+  pad is background (richsem.py:1155-1195), normalized by
+  ``num_boxes · num_groups``;
+* diagnostics (class_error, cardinality_error, loss_xy/hw) ride along with
+  stop_gradient.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from richsem_tpu.models.matcher import match
+from richsem_tpu.utils import boxes as box_ops
+
+Array = jnp.ndarray
+
+
+# ----------------------------------------------------------------------
+# federated loss class sampling
+# ----------------------------------------------------------------------
+def fed_loss_classes(
+    rng: jax.Array,
+    matched_labels: Array,  # [N] int32, −1 for invalid
+    num_classes: int,
+    num_sample_cats: int,
+    fed_weight: Optional[Array] = None,  # [C] image_count^0.5 (set_cats parity)
+) -> Array:
+    """→ ``[num_sample_cats]`` class ids: all appeared classes plus classes
+    sampled ∝ fed_weight without replacement (Gumbel top-k)."""
+    appeared = jnp.zeros((num_classes,), bool)
+    appeared = appeared.at[jnp.clip(matched_labels, 0)].set(matched_labels >= 0)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (num_classes,)) + 1e-20) + 1e-20)
+    if fed_weight is None:
+        fed_weight = jnp.ones((num_classes,), jnp.float32)
+    score = jnp.log(jnp.clip(fed_weight, min=1e-20)) + gumbel
+    score = jnp.where(appeared, 1e9, score)
+    _, ids = jax.lax.top_k(score, num_sample_cats)
+    return ids
+
+
+# ----------------------------------------------------------------------
+# elementary losses over one output set
+# ----------------------------------------------------------------------
+def _sigmoid_focal(logits: Array, targets_onehot: Array, alpha: float, gamma: float):
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets_onehot)
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    loss = ce * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        a_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+        loss = a_t * loss
+    return loss
+
+
+def optax_sigmoid_ce(logits: Array, labels: Array) -> Array:
+    # numerically-stable BCE-with-logits
+    return jnp.clip(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def loss_labels(
+    pred_logits: Array,  # [B, Q, C]
+    col: Array,  # [B, G] matched query per gt (−1 invalid)
+    gt_labels: Array,  # [B, G]
+    gt_valid: Array,  # [B, G]
+    num_boxes: Array,
+    focal_alpha: float = 0.25,
+    fed_ids: Optional[Array] = None,
+    query_mask: Optional[Array] = None,  # [B, Q] queries to supervise
+) -> Dict[str, Array]:
+    b, q, c = pred_logits.shape
+    logits = pred_logits.astype(jnp.float32)
+    # scatter one-hot gt labels at matched queries; OOB (invalid) dropped
+    col_safe = jnp.where(gt_valid & (col >= 0), col, q)
+    onehot = jnp.zeros((b, q + 1, c))
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], col.shape)
+    onehot = onehot.at[bidx, col_safe, jnp.clip(gt_labels, 0)].set(
+        jnp.where(gt_valid, 1.0, 0.0)
+    )
+    onehot = onehot[:, :q]
+    if fed_ids is not None:
+        logits = logits[..., fed_ids]
+        onehot = onehot[..., fed_ids]
+    focal = _sigmoid_focal(logits, onehot, focal_alpha, 2.0)
+    if query_mask is not None:
+        focal = focal * query_mask[..., None].astype(jnp.float32)
+    # reference: mean over queries, sum, ×num_queries / num_boxes == full sum
+    loss_ce = focal.sum() / num_boxes
+    # diagnostics: top-1 accuracy on matched queries (class_error)
+    matched_logits = jnp.take_along_axis(
+        pred_logits, jnp.clip(col, 0)[..., None], axis=1
+    )
+    pred_cls = jnp.argmax(matched_logits, axis=-1)
+    ok = (pred_cls == gt_labels) & gt_valid & (col >= 0)
+    denom = jnp.maximum((gt_valid & (col >= 0)).sum(), 1)
+    class_error = 100.0 * (1.0 - ok.sum() / denom)
+    return {
+        "loss_ce": loss_ce,
+        "class_error": jax.lax.stop_gradient(class_error),
+    }
+
+
+def loss_boxes(
+    pred_boxes: Array,  # [B, Q, 4] cxcywh
+    col: Array,
+    gt_boxes: Array,
+    gt_valid: Array,
+    num_boxes: Array,
+) -> Dict[str, Array]:
+    sel = jnp.take_along_axis(
+        pred_boxes.astype(jnp.float32), jnp.clip(col, 0)[..., None], axis=1
+    )  # [B, G, 4]
+    m = (gt_valid & (col >= 0)).astype(jnp.float32)
+    l1 = jnp.abs(sel - gt_boxes.astype(jnp.float32))
+    giou = box_ops.generalized_box_iou_elementwise(
+        box_ops.box_cxcywh_to_xyxy(sel), box_ops.box_cxcywh_to_xyxy(gt_boxes)
+    )
+    out = {
+        "loss_bbox": (l1.sum(-1) * m).sum() / num_boxes,
+        "loss_giou": ((1.0 - giou) * m).sum() / num_boxes,
+    }
+    out["loss_xy"] = jax.lax.stop_gradient((l1[..., :2].sum(-1) * m).sum() / num_boxes)
+    out["loss_hw"] = jax.lax.stop_gradient((l1[..., 2:].sum(-1) * m).sum() / num_boxes)
+    return out
+
+
+def loss_cardinality(pred_logits: Array, gt_valid: Array) -> Array:
+    # count queries whose argmax is not the last class (diagnostic parity,
+    # richsem.py:1031-1043)
+    card_pred = (jnp.argmax(pred_logits, -1) != pred_logits.shape[-1] - 1).sum(1)
+    tgt_len = gt_valid.sum(1)
+    return jax.lax.stop_gradient(
+        jnp.abs(card_pred.astype(jnp.float32) - tgt_len.astype(jnp.float32)).mean()
+    )
+
+
+def distill_loss_kl(
+    pred_clip_logits: Array,  # [B, Q, C]
+    col: Array,
+    gt_valid: Array,
+    tgt_clip_logits: Array,  # [B, G, C] teacher logits at gt boxes
+    num_boxes: Array,
+    dynamic_weight: bool = False,
+) -> Array:
+    """KL(teacher‖student) on matched queries — distill_type='clip_logits',
+    objective 'gt' (richsem.py:985-1000)."""
+    sel = jnp.take_along_axis(
+        pred_clip_logits.astype(jnp.float32), jnp.clip(col, 0)[..., None], axis=1
+    )
+    log_p = jax.nn.log_softmax(sel, -1)
+    t = jax.nn.softmax(tgt_clip_logits.astype(jnp.float32), -1)
+    kl = t * (jnp.log(jnp.clip(t, min=1e-20)) - log_p)  # [B, G, C]
+    if dynamic_weight:
+        ent = -(t * jnp.log(jnp.clip(t, min=1e-20))).sum(-1, keepdims=True)
+        kl = kl * (ent / jnp.log(t.shape[-1]) * 2.0)
+    m = (gt_valid & (col >= 0)).astype(jnp.float32)
+    return (kl.sum(-1) * m).sum() / num_boxes
+
+
+def distill_loss_l1(
+    pred_clip_embed: Array, col: Array, gt_valid: Array,
+    tgt_clip_embed: Array, num_boxes: Array,
+) -> Array:
+    """L1 on normalized embeddings — distill_type='clip_l1' (richsem.py:980-984)."""
+    sel = jnp.take_along_axis(
+        pred_clip_embed.astype(jnp.float32), jnp.clip(col, 0)[..., None], axis=1
+    )
+    sel = sel / (jnp.linalg.norm(sel, axis=-1, keepdims=True) + 1e-9)
+    m = (gt_valid & (col >= 0)).astype(jnp.float32)
+    l1 = jnp.abs(sel - tgt_clip_embed.astype(jnp.float32)).sum(-1)
+    return (l1 * m).sum() / num_boxes
+
+
+# ----------------------------------------------------------------------
+# the full criterion
+# ----------------------------------------------------------------------
+def set_criterion(
+    outputs: Dict[str, Any],
+    targets: Dict[str, Array],
+    rng: jax.Array,
+    num_classes: int,
+    focal_alpha: float = 0.25,
+    cost_class: float = 2.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    matcher_type: str = "HungarianMatcher",
+    use_fed_loss: bool = False,
+    fed_num_sample_cats: int = 50,
+    fed_weight: Optional[Array] = None,
+    use_fed_on_kd: bool = False,
+    distill_type: str = "",
+    use_dynamic_distill_weight: bool = False,
+    dn_meta: Optional[Dict[str, Array]] = None,
+    world_num_boxes: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """→ unweighted loss dict with the reference's naming matrix
+    (``loss_ce``, ``loss_bbox``, ``loss_giou``, ``*_dn``, ``*_0..k``,
+    ``*_interm`` + diagnostics). Combine with :func:`weighted_loss`."""
+    gt_labels = targets["labels"]
+    gt_boxes = targets["boxes"]
+    gt_valid = targets["valid"]
+
+    if world_num_boxes is None:
+        world_num_boxes = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+    num_boxes = world_num_boxes
+
+    def run_matcher(out_set):
+        return match(
+            out_set["pred_logits"], out_set["pred_boxes"],
+            gt_labels, gt_boxes, gt_valid,
+            cost_class, cost_bbox, cost_giou, focal_alpha,
+            matcher_type=matcher_type,
+        )
+
+    def fed_ids_for(rng_i, col, labels=None, valid=None):
+        if not use_fed_loss:
+            return None
+        labels = gt_labels if labels is None else labels
+        valid = gt_valid if valid is None else valid
+        matched = jnp.where(valid & (col >= 0), labels, -1).reshape(-1)
+        return fed_loss_classes(
+            rng_i, matched, num_classes, fed_num_sample_cats, fed_weight
+        )
+
+    def one_set(out_set, rng_i, col, nb, include_distill=False):
+        fids = fed_ids_for(rng_i, col)
+        d = loss_labels(
+            out_set["pred_logits"], col, gt_labels, gt_valid, nb,
+            focal_alpha, fids,
+        )
+        d.update(loss_boxes(out_set["pred_boxes"], col, gt_boxes, gt_valid, nb))
+        d["cardinality_error"] = loss_cardinality(out_set["pred_logits"], gt_valid)
+        if include_distill and distill_type == "clip_logits":
+            d["loss_distill"] = distill_loss_kl(
+                out_set["pred_clip_logits"], col, gt_valid,
+                targets["clip_logits"], nb, use_dynamic_distill_weight,
+            )
+        elif include_distill and distill_type == "clip_l1":
+            d["loss_distill"] = distill_loss_l1(
+                out_set["pred_clip_embed"], col, gt_valid,
+                targets["clip_embed"], nb,
+            )
+        return d
+
+    rngs = jax.random.split(rng, 16)
+    losses: Dict[str, Array] = {}
+
+    has_distill = distill_type in ("clip_logits", "clip_l1") and (
+        "pred_clip_logits" in outputs or "pred_clip_embed" in outputs
+    )
+
+    # ---- final decoder layer ----------------------------------------
+    col = run_matcher(outputs)
+    losses.update(one_set(outputs, rngs[0], col, num_boxes, has_distill))
+
+    # ---- DN losses ---------------------------------------------------
+    if dn_meta is not None and "dn_outputs" in outputs:
+        dn_out = outputs["dn_outputs"]
+        dn_col = dn_slot_indices(dn_meta)  # [B, G'] fabricated matching
+        dn_nb = num_boxes * dn_meta["num_groups"]
+        dn_targets_valid = dn_meta["pos_valid"]
+        dn_qmask = dn_meta["slot_in_use"]
+        dn_fed = lambda r: fed_ids_for(
+            r, dn_col, dn_meta["pos_labels"], dn_targets_valid
+        )
+        d = loss_labels(
+            dn_out["pred_logits"], dn_col, dn_meta["pos_labels"],
+            dn_targets_valid, dn_nb, focal_alpha,
+            dn_fed(rngs[1]) if use_fed_loss else None,
+            query_mask=dn_qmask,
+        )
+        d.update(
+            loss_boxes(dn_out["pred_boxes"], dn_col, dn_meta["pos_boxes"],
+                       dn_targets_valid, dn_nb)
+        )
+        if has_distill and distill_type == "clip_logits" and "pred_clip_logits" in dn_out:
+            d["loss_distill"] = distill_loss_kl(
+                dn_out["pred_clip_logits"], dn_col, dn_targets_valid,
+                dn_meta["pos_clip_logits"], dn_nb, use_dynamic_distill_weight,
+            )
+        losses.update({f"{k}_dn": v for k, v in d.items()})
+        for i, aux in enumerate(dn_out.get("aux_outputs", [])):
+            d = loss_labels(
+                aux["pred_logits"], dn_col, dn_meta["pos_labels"],
+                dn_targets_valid, dn_nb, focal_alpha,
+                dn_fed(rngs[2 + i]) if use_fed_loss else None,
+                query_mask=dn_qmask,
+            )
+            d.update(
+                loss_boxes(aux["pred_boxes"], dn_col, dn_meta["pos_boxes"],
+                           dn_targets_valid, dn_nb)
+            )
+            losses.update({f"{k}_dn_{i}": v for k, v in d.items()})
+
+    # ---- aux decoder layers -----------------------------------------
+    for i, aux in enumerate(outputs.get("aux_outputs", [])):
+        col = run_matcher(aux)
+        d = one_set(aux, rngs[8 + i], col, num_boxes)
+        losses.update({f"{k}_{i}": v for k, v in d.items()})
+
+    # ---- encoder (interm) outputs -----------------------------------
+    if "interm_outputs" in outputs:
+        col = run_matcher(outputs["interm_outputs"])
+        d = one_set(outputs["interm_outputs"], rngs[14], col, num_boxes)
+        losses.update({f"{k}_interm": v for k, v in d.items()})
+
+    return losses
+
+
+def dn_slot_indices(dn_meta: Dict[str, Array]) -> Array:
+    """Fabricated DN matching: positive slot index per (replicated) gt.
+
+    ``dn_meta`` must carry ``pos_slots [B, P2]`` built by
+    :func:`expand_dn_targets`.
+    """
+    return dn_meta["pos_slots"]
+
+
+def expand_dn_targets(
+    gt_labels: Array, gt_boxes: Array, gt_valid: Array,
+    dn_meta: Dict[str, Array], dn_pad: int,
+    gt_clip_logits: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Replicate gt targets across DN groups as fixed-width rows.
+
+    The DN loss supervises gt ``i`` of group ``g`` at slot ``2·m·g + i``
+    (richsem.py:1160-1171). We lay out a [B, P/2] table of (slot, gt) pairs:
+    entry ``j = g·G + i`` where G = max_gt capacity... but the slot formula
+    depends on the batch max ``m`` (traced), so the table is computed from
+    ``match_gt`` directly: positives are exactly the slots where
+    ``match_gt >= 0``; we scatter them into per-gt rows.
+
+    Returns an augmented dn_meta with ``pos_slots [B, P] `` (slot index per
+    *positive occurrence*, aligned with ``pos_labels/pos_boxes/pos_valid``).
+    Each positive DN slot is its own supervised row — equivalent to the
+    reference's concatenated (output_idx, tgt_idx) lists.
+    """
+    match_gt = dn_meta["match_gt"]  # [B, P] gt index or −1
+    b, p = match_gt.shape
+    slot_ids = jnp.broadcast_to(jnp.arange(p)[None, :], (b, p))
+    valid = match_gt >= 0
+    safe = jnp.clip(match_gt, 0)
+    out = dict(dn_meta)
+    out["pos_slots"] = jnp.where(valid, slot_ids, -1)
+    out["pos_labels"] = jnp.take_along_axis(gt_labels, safe, axis=1)
+    out["pos_boxes"] = jnp.take_along_axis(gt_boxes, safe[..., None], axis=1)
+    out["pos_valid"] = valid & jnp.take_along_axis(gt_valid, safe, axis=1)
+    if gt_clip_logits is not None:
+        out["pos_clip_logits"] = jnp.take_along_axis(
+            gt_clip_logits, safe[..., None], axis=1
+        )
+    return out
+
+
+# ----------------------------------------------------------------------
+# weighting matrix
+# ----------------------------------------------------------------------
+def build_weight_dict(cfg) -> Dict[str, float]:
+    """The reference's weight-dict naming matrix (richsem.py:1467-1509)."""
+    base = {
+        "loss_ce": cfg.cls_loss_coef,
+        "loss_bbox": cfg.bbox_loss_coef,
+        "loss_giou": cfg.giou_loss_coef,
+    }
+    wd = dict(base)
+    use_distill = getattr(cfg, "use_visual_distill", False)
+    if cfg.use_dn:
+        wd.update({f"{k}_dn": v for k, v in base.items()})
+        if use_distill:
+            wd["loss_distill_dn"] = cfg.distill_loss_coef
+    if use_distill:
+        wd["loss_distill"] = cfg.distill_loss_coef
+    clean = dict(wd)
+    if cfg.aux_loss:
+        for i in range(cfg.dec_layers - 1):
+            # clean includes the `_dn` keys, so this emits e.g. loss_ce_0
+            # AND loss_ce_dn_0 — the reference's aux naming (richsem.py:1489-1493)
+            wd.update({f"{k}_{i}": v for k, v in clean.items()})
+    if cfg.two_stage_type != "no":
+        box_on = 0.0 if cfg.no_interm_box_loss else 1.0
+        coeff = {"loss_ce": 1.0, "loss_bbox": box_on, "loss_giou": box_on}
+        wd.update(
+            {
+                f"{k}_interm": v * cfg.interm_loss_coef * coeff[k]
+                for k, v in base.items()
+            }
+        )
+    return wd
+
+
+def weighted_loss(
+    losses: Dict[str, Array], weight_dict: Dict[str, float],
+    weight_mask: Optional[Dict[str, Array]] = None,
+) -> Array:
+    """Σ w_k · loss_k. ``weight_mask`` multiplies selected weights at run
+    time — the extra-data bbox/giou/label masking hook (engine.py:62-79)."""
+    total = jnp.zeros((), jnp.float32)
+    for k, w in weight_dict.items():
+        if k in losses:
+            term = losses[k] * w
+            if weight_mask is not None:
+                for prefix, m in weight_mask.items():
+                    if k.startswith(prefix):
+                        term = term * m
+                        break
+            total = total + term
+    return total

@@ -88,8 +88,9 @@ class DINOConfig:
     # dn
     dn_labelbook_size: int = 1204
     dn_labelbook_reuse_cls: bool = True
-    # precision
+    # precision / memory
     compute_dtype: Any = jnp.float32
+    use_checkpoint: bool = False  # remat encoder/decoder layers
 
     @classmethod
     def from_config(cls, cfg) -> "DINOConfig":
@@ -122,6 +123,7 @@ class DINOConfig:
             dn_labelbook_size=cfg.dn_labelbook_size,
             dn_labelbook_reuse_cls=cfg.dn_labelbook_reuse_cls,
             compute_dtype=compute_dtype,
+            use_checkpoint=getattr(cfg, "use_checkpoint", False),
         )
 
 
@@ -238,13 +240,17 @@ class DINO(nn.Module):
             "level_embed", nn.initializers.normal(1.0),
             (c.num_feature_levels, c.hidden_dim),
         )
+        enc_cls, dec_cls = DeformableEncoderLayer, DeformableDecoderLayer
+        if c.use_checkpoint:
+            # rematerialize per layer: trade recompute for HBM
+            # (the reference's `use_checkpoint` knob, backbone.py:195)
+            enc_cls = nn.remat(DeformableEncoderLayer, static_argnums=(4, 6))
+            dec_cls = nn.remat(DeformableDecoderLayer, static_argnums=(5, 8))
         self.encoder_layers = [
-            DeformableEncoderLayer(c, name=f"encoder_layer{i}")
-            for i in range(c.enc_layers)
+            enc_cls(c, name=f"encoder_layer{i}") for i in range(c.enc_layers)
         ]
         self.decoder_layers = [
-            DeformableDecoderLayer(c, name=f"decoder_layer{i}")
-            for i in range(c.dec_layers)
+            dec_cls(c, name=f"decoder_layer{i}") for i in range(c.dec_layers)
         ]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
         # two-stage machinery
@@ -337,14 +343,18 @@ class DINO(nn.Module):
         label_proj(text_embed) (open-vocab).
         """
         c = self.cfg
+        inactive = labels < 0  # −1 slots get zero content (the reference's
+        # zero padding_label, dn_components.py:133-141)
+        safe = jnp.clip(labels, 0)
         if not c.dn_labelbook_reuse_cls:
-            return self.label_enc_table[jnp.clip(labels, 0, c.dn_labelbook_size)]
-        labels = jnp.clip(labels, 0, c.num_classes - 1)
-        if c.use_language:
+            emb = self.label_enc_table[jnp.clip(safe, 0, c.dn_labelbook_size)]
+        elif c.use_language:
             table = self.label_proj(text_embed)  # [C, hidden]
-            return table[labels]
-        # reuse the linear classifier weights: kernel [hidden, C] → [C, hidden]
-        return self.cls_kernel.T[labels]
+            emb = table[jnp.clip(safe, 0, c.num_classes - 1)]
+        else:
+            # reuse the linear classifier weights: kernel [hidden,C] → [C,hidden]
+            emb = self.cls_kernel.T[jnp.clip(safe, 0, c.num_classes - 1)]
+        return jnp.where(inactive[..., None], 0.0, emb)
 
     # ------------------------------------------------------------------
     def __call__(

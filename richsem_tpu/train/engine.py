@@ -1,0 +1,196 @@
+"""Train/eval step construction — the jitted heart of the framework.
+
+Capability parity with the reference engine (engine.py:22-146
+``train_one_epoch`` body, :149-330 ``evaluate`` step) redesigned as pure
+jitted functions over static-shaped batches:
+
+* one ``train_step(state, batch, rng)`` fuses CDN construction, the model
+  forward, on-device Hungarian matching, the full loss matrix, gradient,
+  clip and optimizer update into a single XLA program — no per-step host
+  round trips (the reference syncs to host for scipy matching and loss
+  logging every step);
+* extra-data loss masking (engine.py:62-79): ``batch["is_extra"]``
+  multiplies the bbox/giou/label weights per the ``mask_bbox/mask_giou/
+  mask_labels`` knobs;
+* the NaN guard (engine.py:93-96) is a jnp.isfinite flag in the metrics —
+  the host loop decides whether to abort;
+* EMA (util/utils.py:375-400): decay-0.9997 shadow params updated inside
+  the same jit;
+* losses are returned already globally meaningful (GSPMD), replacing
+  ``reduce_dict`` (util/misc.py:139-163).
+
+Batch layout (all static shapes; produced by richsem_tpu/data):
+  images [B,H,W,3] f32 · pad_mask [B,H,W] bool · labels [B,G] i32 ·
+  boxes [B,G,4] f32 (normalized cxcywh) · valid [B,G] bool ·
+  size [B,2] (valid h,w in canvas) · orig_size [B,2] · is_extra [B] bool ·
+  optional clip targets (stage 6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from richsem_tpu.models.criterion import (
+    build_weight_dict,
+    expand_dn_targets,
+    set_criterion,
+    weighted_loss,
+)
+from richsem_tpu.models.dn import prepare_cdn
+from richsem_tpu.models.postprocess import postprocess
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+
+
+def create_train_state(params, tx, use_ema: bool = False) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+    )
+
+
+def make_train_step(model, cfg, tx):
+    """Builds the jitted train step. ``model`` is the DINO module; ``cfg``
+    the merged config; ``tx`` the optax transformation."""
+    weight_dict = build_weight_dict(cfg)
+    use_dn = cfg.use_dn and cfg.dn_number > 0
+    distill_type = cfg.distill_type if cfg.use_visual_distill else ""
+
+    def loss_fn(params, batch, rng, text_embed):
+        rng_dn, rng_crit = jax.random.split(rng)
+        dn_args = {}
+        dn_meta = None
+        if use_dn:
+            dn_labels, dn_boxes_unsig, dn_attn, dn_meta = prepare_cdn(
+                batch["labels"], batch["boxes"], batch["valid"], rng_dn,
+                dn_number=cfg.dn_number,
+                label_noise_ratio=cfg.dn_label_noise_ratio,
+                box_noise_scale=cfg.dn_box_noise_scale,
+                num_classes=cfg.num_classes,
+                num_queries=cfg.num_queries,
+            )
+            dn_args = dict(
+                dn_labels=dn_labels,
+                dn_boxes_unsig=dn_boxes_unsig,
+                dn_attn_mask=dn_attn,
+            )
+        outputs = model.apply(
+            params, batch["images"], batch["pad_mask"],
+            text_embed=text_embed, train=True, **dn_args,
+        )
+        targets = {
+            "labels": batch["labels"],
+            "boxes": batch["boxes"],
+            "valid": batch["valid"],
+        }
+        if "clip_logits" in batch:
+            targets["clip_logits"] = batch["clip_logits"]
+        if dn_meta is not None:
+            dn_meta = expand_dn_targets(
+                batch["labels"], batch["boxes"], batch["valid"], dn_meta,
+                2 * cfg.dn_number,
+                gt_clip_logits=batch.get("clip_logits"),
+            )
+        losses = set_criterion(
+            outputs, targets, rng_crit,
+            num_classes=cfg.num_classes,
+            focal_alpha=cfg.focal_alpha,
+            cost_class=cfg.set_cost_class,
+            cost_bbox=cfg.set_cost_bbox,
+            cost_giou=cfg.set_cost_giou,
+            matcher_type=cfg.matcher_type,
+            use_fed_loss=cfg.use_fed_loss,
+            fed_num_sample_cats=cfg.fed_num_sample_cats,
+            fed_weight=batch.get("fed_weight"),
+            distill_type=distill_type,
+            use_dynamic_distill_weight=cfg.use_dynamic_distill_weight,
+            dn_meta=dn_meta,
+        )
+        # extra-data loss masking (engine.py:62-79): when the whole
+        # (sub-loader) batch is weak-label data, selected loss families are
+        # zeroed according to config.
+        weight_mask = None
+        is_extra = batch.get("is_extra")
+        if is_extra is not None:
+            extra = is_extra.any().astype(jnp.float32)
+            keep = 1.0 - extra
+            weight_mask = {}
+            if cfg.mask_bbox:
+                weight_mask["loss_bbox"] = keep
+                weight_mask["loss_xy"] = keep
+                weight_mask["loss_hw"] = keep
+            if cfg.mask_giou:
+                weight_mask["loss_giou"] = keep
+            if cfg.mask_labels:
+                weight_mask["loss_ce"] = keep
+        total = weighted_loss(losses, weight_dict, weight_mask)
+        return total, losses
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
+        text_embed: Optional[jnp.ndarray] = None,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng, text_embed
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            d = cfg.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + (1.0 - d) * p, new_ema, new_params
+            )
+        metrics = {
+            "loss": total,
+            "grad_norm": optax.global_norm(grads),
+            "finite": jnp.isfinite(total),
+        }
+        metrics.update(
+            {k: v for k, v in losses.items()
+             if k in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_dn",
+                      "loss_distill", "class_error", "cardinality_error")}
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt,
+            ema_params=new_ema,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg):
+    """Inference forward + PostProcess (engine.py:173-227 equivalent)."""
+
+    @jax.jit
+    def eval_step(params, batch, text_embed=None):
+        outputs = model.apply(
+            params, batch["images"], batch["pad_mask"],
+            text_embed=text_embed, train=False,
+        )
+        results = postprocess(
+            outputs["pred_logits"], outputs["pred_boxes"],
+            batch["orig_size"].astype(jnp.float32),
+            num_select=cfg.num_select,
+            nms_iou_threshold=cfg.nms_iou_threshold,
+        )
+        return results
+
+    return eval_step
