@@ -47,6 +47,7 @@ def fed_loss_classes(
 ) -> Array:
     """→ ``[num_sample_cats]`` class ids: all appeared classes plus classes
     sampled ∝ fed_weight without replacement (Gumbel top-k)."""
+    num_sample_cats = min(num_sample_cats, num_classes)
     appeared = jnp.zeros((num_classes,), bool)
     appeared = appeared.at[jnp.clip(matched_labels, 0)].set(matched_labels >= 0)
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (num_classes,)) + 1e-20) + 1e-20)
