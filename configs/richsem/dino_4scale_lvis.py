@@ -162,3 +162,7 @@ param_dtype = "float32"
 compute_dtype = "bfloat16"
 donate_train_state = True
 profile_dir = ""
+
+# ---- CLIP asset paths (supplied by the user; zero-egress image) ------------
+clip_checkpoint_path = "DATASET/clip/clip_rn50_params.pkl"   # tools/convert_clip.py
+clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"

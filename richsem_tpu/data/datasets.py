@@ -197,6 +197,48 @@ class ImageFolderDetection:
         return r
 
 
+class MosaicDataset:
+    """4-image Mosaic wrapper for the weak-label branch.
+
+    Parity with the reference's Mosaic-aware CocoDetection (coco.py:425-434
+    pre-fetches 3 mix images via ``get_indexes``) + the imagenet transform
+    recipe that appends ``T.Mosaic()`` before normalize (coco.py:655-662).
+    """
+
+    def __init__(self, base, aug_tf, prob: float = 1.0,
+                 img_scale=(640, 640)):
+        self.base = base
+        self.aug_tf = aug_tf
+        self.prob = prob
+        self.img_scale = tuple(img_scale)
+        self.is_extra = getattr(base, "is_extra", False)
+
+    def __len__(self):
+        return len(self.base)
+
+    def category_ids_per_image(self):
+        return self.base.category_ids_per_image()
+
+    def _raw_aug(self, i: int, rng: random.Random) -> Record:
+        for _ in range(10):
+            r = self.base.load_raw(i)
+            if r is not None:
+                break
+            i = rng.randrange(len(self.base))
+        else:
+            raise RuntimeError("too many corrupt images")
+        return self.aug_tf(r, rng)
+
+    def get(self, i: int, rng: random.Random) -> Record:
+        from richsem_tpu.data.transforms import mosaic_compose, normalize
+
+        if rng.random() > self.prob:
+            return normalize(self._raw_aug(i, rng))
+        idxs = [i] + [rng.randrange(len(self.base)) for _ in range(3)]
+        recs = [self._raw_aug(j, rng) for j in idxs]
+        return normalize(mosaic_compose(recs, rng, self.img_scale))
+
+
 def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
     """Dispatch by ``cfg.dataset_file`` (datasets/__init__.py:20-39)."""
     from richsem_tpu.data.transforms import make_eval_transform, make_train_transform
@@ -220,9 +262,18 @@ def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
 
             with open(mapping) as f:
                 folder_to_cat = json.load(f)
-        return ImageFolderDetection(
+        ds = ImageFolderDetection(
             cfg.imagenet_path, folder_to_cat, transform=tf, is_train=True
         )
+        if getattr(cfg, "imagenet_use_mosaic", False):
+            from richsem_tpu.data.transforms import make_train_aug
+
+            aug = make_train_aug(
+                cfg.data_aug_scales, cfg.data_aug_max_size,
+                cfg.data_aug_scales2_resize, tuple(cfg.data_aug_scales2_crop),
+            )
+            ds = MosaicDataset(ds, aug)
+        return ds
     if name in ("lvis", "lvis_openvocab"):
         split = "train" if is_train else "val"
         ann = os.path.join(root, "lvis_v1", f"lvis_v1_{split}.json")

@@ -137,12 +137,14 @@ def normalize(r: Record) -> Record:
 # ----------------------------------------------------------------------
 # recipes
 # ----------------------------------------------------------------------
-def make_train_transform(
+def make_train_aug(
     scales: Sequence[int],
     max_size: int,
     scales2_resize: Sequence[int],
     scales2_crop: Tuple[int, int],
 ) -> Callable[[Record, random.Random], Record]:
+    """The geometric train recipe, *without* the final normalize."""
+
     def tf(r: Record, rng: random.Random) -> Record:
         if rng.random() < 0.5:
             r = hflip(r)
@@ -152,9 +154,101 @@ def make_train_transform(
             r = resize(r, rng.choice(list(scales2_resize)))
             r = random_size_crop(r, scales2_crop[0], scales2_crop[1], rng)
             r = resize(r, rng.choice(list(scales)), max_size)
-        return normalize(r)
+        return r
 
     return tf
+
+
+def make_train_transform(
+    scales: Sequence[int],
+    max_size: int,
+    scales2_resize: Sequence[int],
+    scales2_crop: Tuple[int, int],
+) -> Callable[[Record, random.Random], Record]:
+    aug = make_train_aug(scales, max_size, scales2_resize, scales2_crop)
+
+    def tf(r: Record, rng: random.Random) -> Record:
+        return normalize(aug(r, rng))
+
+    return tf
+
+
+def mosaic_compose(
+    records: Sequence[Record],
+    rng: random.Random,
+    img_scale: Tuple[int, int] = (640, 640),
+    center_ratio_range: Tuple[float, float] = (0.5, 1.5),
+    pad_val: int = 114,
+) -> Record:
+    """Compose 4 records into one 2×img_scale mosaic.
+
+    Parity with the reference's mmdet-style Mosaic
+    (datasets/transforms.py:303-601): canvas = 2×(h, w) filled with
+    ``pad_val``; a random center in ``center_ratio_range × img_scale``
+    splits it into 4 quadrants; each image is scale-fit to ``img_scale``
+    (keep ratio) then cropped to its quadrant; boxes shift and clip, and
+    degenerate boxes drop.
+    """
+    assert len(records) == 4
+    sh, sw = img_scale
+    ch, cw = 2 * sh, 2 * sw
+    canvas = np.full((ch, cw, 3), pad_val, records[0]["image"].dtype)
+    cy = int(rng.uniform(*center_ratio_range) * sh)
+    cx = int(rng.uniform(*center_ratio_range) * sw)
+    out_boxes, out_labels, out_area, out_crowd = [], [], [], []
+    for pos, r in zip(("tl", "tr", "bl", "br"), records):
+        img = r["image"]
+        h, w = img.shape[:2]
+        s = min(sh / h, sw / w)
+        nh, nw = int(h * s), int(w * s)
+        if (nh, nw) != (h, w):
+            interp = cv2.INTER_AREA if nh < h else cv2.INTER_LINEAR
+            img = cv2.resize(img, (nw, nh), interpolation=interp)
+        # paste coords on canvas and source-crop coords
+        if pos == "tl":
+            x1, y1, x2, y2 = max(cx - nw, 0), max(cy - nh, 0), cx, cy
+            sx1, sy1 = nw - (x2 - x1), nh - (y2 - y1)
+        elif pos == "tr":
+            x1, y1, x2, y2 = cx, max(cy - nh, 0), min(cx + nw, cw), cy
+            sx1, sy1 = 0, nh - (y2 - y1)
+        elif pos == "bl":
+            x1, y1, x2, y2 = max(cx - nw, 0), cy, cx, min(cy + nh, ch)
+            sx1, sy1 = nw - (x2 - x1), 0
+        else:
+            x1, y1, x2, y2 = cx, cy, min(cx + nw, cw), min(cy + nh, ch)
+            sx1, sy1 = 0, 0
+        canvas[y1:y2, x1:x2] = img[sy1 : sy1 + (y2 - y1), sx1 : sx1 + (x2 - x1)]
+        if len(r["boxes"]):
+            b = r["boxes"] * s
+            b = b + np.array([x1 - sx1, y1 - sy1, x1 - sx1, y1 - sy1], np.float32)
+            b[:, 0::2] = b[:, 0::2].clip(x1, x2)
+            b[:, 1::2] = b[:, 1::2].clip(y1, y2)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            out_boxes.append(b[keep])
+            out_labels.append(r["labels"][keep])
+            out_crowd.append(r.get("iscrowd", np.zeros(len(r["labels"]), np.int64))[keep])
+    boxes = (
+        np.concatenate(out_boxes).astype(np.float32)
+        if out_boxes
+        else np.zeros((0, 4), np.float32)
+    )
+    labels = (
+        np.concatenate(out_labels) if out_labels else np.zeros((0,), np.int64)
+    )
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return {
+        "image": canvas,
+        "boxes": boxes,
+        "labels": labels,
+        "area": area,
+        "iscrowd": np.concatenate(out_crowd) if out_crowd else np.zeros((0,), np.int64),
+        "image_id": records[0].get("image_id", 0),
+        "orig_size": records[0].get("orig_size", (ch, cw)),
+        "is_extra": records[0].get("is_extra", False),
+        "neg_category_ids": records[0].get("neg_category_ids", []),
+        "not_exhaustive_category_ids": records[0].get("not_exhaustive_category_ids", []),
+        "size": (ch, cw),
+    }
 
 
 def make_eval_transform(scales: Sequence[int], max_size: int) -> Callable[[Record], Record]:

@@ -154,6 +154,23 @@ def loss_cardinality(pred_logits: Array, gt_valid: Array) -> Array:
     )
 
 
+def _kl_terms(student_logits, teacher_logits, dynamic_weight, fed_ids=None):
+    """Per-row KL(teacher‖student) with optional fed-class restriction
+    (use_fed_on_kd, richsem.py:997-1000) and entropy weighting."""
+    s = student_logits.astype(jnp.float32)
+    t_logits = teacher_logits.astype(jnp.float32)
+    if fed_ids is not None:
+        s = s[..., fed_ids]
+        t_logits = t_logits[..., fed_ids]
+    log_p = jax.nn.log_softmax(s, -1)
+    t = jax.nn.softmax(t_logits, -1)
+    kl = t * (jnp.log(jnp.clip(t, min=1e-20)) - log_p)
+    if dynamic_weight:
+        ent = -(t * jnp.log(jnp.clip(t, min=1e-20))).sum(-1, keepdims=True)
+        kl = kl * (ent / jnp.log(t.shape[-1]) * 2.0)
+    return kl.sum(-1)
+
+
 def distill_loss_kl(
     pred_clip_logits: Array,  # [B, Q, C]
     col: Array,
@@ -161,20 +178,43 @@ def distill_loss_kl(
     tgt_clip_logits: Array,  # [B, G, C] teacher logits at gt boxes
     num_boxes: Array,
     dynamic_weight: bool = False,
+    fed_ids: Optional[Array] = None,
 ) -> Array:
     """KL(teacher‖student) on matched queries — distill_type='clip_logits',
     objective 'gt' (richsem.py:985-1000)."""
     sel = jnp.take_along_axis(
         pred_clip_logits.astype(jnp.float32), jnp.clip(col, 0)[..., None], axis=1
     )
-    log_p = jax.nn.log_softmax(sel, -1)
-    t = jax.nn.softmax(tgt_clip_logits.astype(jnp.float32), -1)
-    kl = t * (jnp.log(jnp.clip(t, min=1e-20)) - log_p)  # [B, G, C]
-    if dynamic_weight:
-        ent = -(t * jnp.log(jnp.clip(t, min=1e-20))).sum(-1, keepdims=True)
-        kl = kl * (ent / jnp.log(t.shape[-1]) * 2.0)
+    kl = _kl_terms(sel, tgt_clip_logits, dynamic_weight, fed_ids)  # [B, G]
     m = (gt_valid & (col >= 0)).astype(jnp.float32)
-    return (kl.sum(-1) * m).sum() / num_boxes
+    return (kl * m).sum() / num_boxes
+
+
+def distill_loss_kl_pred(
+    pred_clip_logits: Array,  # [B, Q, C] student
+    teacher_clip_logits: Array,  # [B, Q, C] teacher at predicted boxes
+    col: Array,
+    gt_valid: Array,
+    num_boxes: Array,
+    objective: str,  # 'pred' | 'pred_all'
+    dynamic_weight: bool = False,
+    fed_ids: Optional[Array] = None,
+) -> Array:
+    """'pred': matched queries only /num_boxes; 'pred_all': every query
+    /(B·nq) (richsem.py:1002-1024)."""
+    if objective == "pred":
+        sel_s = jnp.take_along_axis(
+            pred_clip_logits, jnp.clip(col, 0)[..., None], axis=1
+        )
+        sel_t = jnp.take_along_axis(
+            teacher_clip_logits, jnp.clip(col, 0)[..., None], axis=1
+        )
+        kl = _kl_terms(sel_s, sel_t, dynamic_weight, fed_ids)
+        m = (gt_valid & (col >= 0)).astype(jnp.float32)
+        return (kl * m).sum() / num_boxes
+    b, nq = pred_clip_logits.shape[:2]
+    kl = _kl_terms(pred_clip_logits, teacher_clip_logits, dynamic_weight, fed_ids)
+    return kl.sum() / (b * nq)
 
 
 def distill_loss_l1(
@@ -209,6 +249,7 @@ def set_criterion(
     fed_weight: Optional[Array] = None,
     use_fed_on_kd: bool = False,
     distill_type: str = "",
+    clip_distill_objective: str = "gt",
     use_dynamic_distill_weight: bool = False,
     dn_meta: Optional[Dict[str, Array]] = None,
     world_num_boxes: Optional[Array] = None,
@@ -250,11 +291,21 @@ def set_criterion(
         )
         d.update(loss_boxes(out_set["pred_boxes"], col, gt_boxes, gt_valid, nb))
         d["cardinality_error"] = loss_cardinality(out_set["pred_logits"], gt_valid)
+        kd_fids = fids if use_fed_on_kd else None
         if include_distill and distill_type == "clip_logits":
-            d["loss_distill"] = distill_loss_kl(
-                out_set["pred_clip_logits"], col, gt_valid,
-                targets["clip_logits"], nb, use_dynamic_distill_weight,
-            )
+            if clip_distill_objective == "gt":
+                d["loss_distill"] = distill_loss_kl(
+                    out_set["pred_clip_logits"], col, gt_valid,
+                    targets["clip_logits"], nb, use_dynamic_distill_weight,
+                    kd_fids,
+                )
+            else:
+                d["loss_distill"] = distill_loss_kl_pred(
+                    out_set["pred_clip_logits"],
+                    outputs["teacher_clip_logits"], col, gt_valid, nb,
+                    clip_distill_objective, use_dynamic_distill_weight,
+                    kd_fids,
+                )
         elif include_distill and distill_type == "clip_l1":
             d["loss_distill"] = distill_loss_l1(
                 out_set["pred_clip_embed"], col, gt_valid,

@@ -198,7 +198,8 @@ class ClipAlignHead(nn.Module):
     use_mlp: bool = False
 
     @nn.compact
-    def __call__(self, hs: jnp.ndarray, text_embed: jnp.ndarray):
+    def __call__(self, hs: jnp.ndarray, text_embed: jnp.ndarray,
+                 logit_scale: jnp.ndarray):
         c = self.cfg
         ld = c.clip_embed_dim
         init = nn.initializers.normal(ld**-0.5)
@@ -213,9 +214,6 @@ class ClipAlignHead(nn.Module):
         v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
         t = text_embed.astype(jnp.float32)
         t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
-        logit_scale = self.param(
-            "logit_scale", nn.initializers.constant(math.log(1 / 0.07)), ()
-        )
         return jnp.exp(logit_scale) * (v @ t.T)
 
 
@@ -285,6 +283,12 @@ class DINO(nn.Module):
                 name="class_embed")
             self.enc_out_class_embed = ClipAlignHead(
                 c, use_mlp=False, name="enc_out_class_embed")
+        if c.use_language or c.use_visual_distill:
+            # CLIP's temperature, frozen at its pretrained value via the
+            # optimizer mask (richsem.py:92-95)
+            self.logit_scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(math.log(1 / 0.07)), ())
         else:
             # explicit kernel/bias so the DN label encoder can tie to them
             # (dn_labelbook_reuse_cls, richsem.py:386-395)
@@ -328,7 +332,7 @@ class DINO(nn.Module):
         c = self.cfg
         if c.use_language:
             head = self.enc_out_class_embed if enc else self.class_embed
-            return head(h, text_embed)
+            return head(h, text_embed, self.logit_scale)
         k = self.enc_cls_kernel if enc else self.cls_kernel
         bias = self.enc_cls_bias if enc else self.cls_bias
         return h.astype(jnp.float32) @ k + bias
@@ -431,6 +435,15 @@ class DINO(nn.Module):
             tgt = jax.lax.stop_gradient(tgt_undetach)
 
         # ---- prepend DN queries -----------------------------------------
+        if (
+            dn_labels is None
+            and c.dn_labelbook_reuse_cls
+            and c.use_language
+            and text_embed is not None
+        ):
+            # materialize label_proj params even on DN-free traces so that
+            # init from an inference call still yields the full tree
+            tgt = tgt + 0.0 * self.label_proj(text_embed[:1]).sum()
         num_dn = 0
         if dn_labels is not None:
             num_dn = dn_labels.shape[1]
@@ -478,15 +491,21 @@ class DINO(nn.Module):
             all_logits.append(self._class_logits(h, text_embed))
 
         if c.use_visual_distill:
-            # project final-layer (and aux) queries into CLIP space
-            clip_hs = [self.clip_visual_proj(h).astype(jnp.float32)
-                       for h in hs_layers]
-            clip_hs = [
-                h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-9)
-                for h in clip_hs
-            ]
-            out["pred_clip_embed"] = clip_hs[-1][:, num_dn:]
-            out["dn_pred_clip_embed"] = clip_hs[-1][:, :num_dn]
+            # project final-layer queries into CLIP space (richsem.py:719-725)
+            clip_hs = self.clip_visual_proj(hs_layers[-1]).astype(jnp.float32)
+            clip_hs = clip_hs / (
+                jnp.linalg.norm(clip_hs, axis=-1, keepdims=True) + 1e-9
+            )
+            out["pred_clip_embed"] = clip_hs[:, num_dn:]
+            if num_dn:
+                out["dn_pred_clip_embed"] = clip_hs[:, :num_dn]
+            if text_embed is not None:
+                t = text_embed.astype(jnp.float32)
+                t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+                clip_logits = jnp.exp(self.logit_scale) * (clip_hs @ t.T)
+                out["pred_clip_logits"] = clip_logits[:, num_dn:]
+                if num_dn:
+                    out["dn_pred_clip_logits"] = clip_logits[:, :num_dn]
 
         def split(x):
             return x[:, :num_dn], x[:, num_dn:]
@@ -509,6 +528,10 @@ class DINO(nn.Module):
                     for l, cd in zip(dn_logits[:-1], dn_coords[:-1])
                 ],
             }
+            if "dn_pred_clip_logits" in out:
+                out["dn_outputs"]["pred_clip_logits"] = out.pop(
+                    "dn_pred_clip_logits"
+                )
         # encoder (interm) outputs — richsem.py:789-795
         interm_class = gather(enc_class_unsel)
         out["interm_outputs"] = {

@@ -43,6 +43,7 @@ def prepare_cdn(
     box_noise_scale: float = 1.0,
     num_classes: int = 1204,
     num_queries: int = 900,
+    check_pos_dn: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (dn_labels [B,P], dn_boxes_unsig [B,P,4], attn_mask [B,QT,QT],
     dn_meta) with P = 2·dn_number, QT = P + num_queries.
@@ -85,6 +86,26 @@ def prepare_cdn(
     sign = jax.random.randint(k_sign, (b, pad, 4), 0, 2).astype(jnp.float32) * 2 - 1
     part = jax.random.uniform(k_part, (b, pad, 4))
     part = part + is_neg[None, :, None].astype(jnp.float32)  # negatives: [1,2)
+    if check_pos_dn:
+        # halve the positive noise until each noised positive's best-IoU gt
+        # is its own gt — fixed 5 tries (dn_components.py:91-119)
+        from richsem_tpu.utils.boxes import box_iou
+
+        gt_xyxy = jnp.concatenate(
+            [gt_boxes[..., :2] - gt_boxes[..., 2:] / 2,
+             gt_boxes[..., :2] + gt_boxes[..., 2:] / 2], axis=-1)
+
+        def one_try(_, part):
+            cand = jnp.clip(xyxy + sign * part * half * box_noise_scale, 0, 1)
+            iou = jax.vmap(lambda a, g_: box_iou(a, g_)[0])(cand, gt_xyxy)
+            iou = jnp.where(gt_valid[:, None, :], iou, -1.0)  # [B, P, G]
+            best = jnp.argmax(iou, axis=-1)
+            need = (best != jnp.clip(gt_idx, 0, g_slots - 1)[None, :]) & (
+                active & ~is_neg[None, :]
+            )
+            return jnp.where(need[..., None], part * 0.5, part)
+
+        part = jax.lax.fori_loop(0, 5, one_try, part)
     noised = xyxy + sign * part * half * box_noise_scale
     noised = jnp.clip(noised, 0.0, 1.0)
     cxcy_n = (noised[..., :2] + noised[..., 2:]) / 2

@@ -62,15 +62,38 @@ def create_train_state(params, tx, use_ema: bool = False) -> TrainState:
     )
 
 
-def make_train_step(model, cfg, tx):
+def make_train_step(model, cfg, tx, clip_model=None):
     """Builds the jitted train step. ``model`` is the DINO module; ``cfg``
-    the merged config; ``tx`` the optax transformation."""
+    the merged config; ``tx`` the optax transformation; ``clip_model`` the
+    frozen teacher module (its params arrive per call)."""
     weight_dict = build_weight_dict(cfg)
     use_dn = cfg.use_dn and cfg.dn_number > 0
     distill_type = cfg.distill_type if cfg.use_visual_distill else ""
+    use_teacher = cfg.use_visual_distill and clip_model is not None
 
-    def loss_fn(params, batch, rng, text_embed):
+    def loss_fn(params, batch, rng, text_embed, clip_params):
         rng_dn, rng_crit = jax.random.split(rng)
+        if use_teacher:
+            from richsem_tpu.models.clip_align import (
+                clip_pseudo_labels,
+                clip_teacher_box_targets,
+            )
+
+            clip_embed, clip_logits = clip_teacher_box_targets(
+                clip_model, clip_params, batch["images"], batch["boxes"],
+                batch["size"].astype(jnp.float32), text_embed,
+                clip_params["params"]["logit_scale"],
+            )
+            batch = dict(batch, clip_logits=clip_logits, clip_embed=clip_embed)
+            if cfg.use_imagenet_pusedo_labels and "is_extra" in batch:
+                # teacher-rescored weak labels for extra data
+                # (richsem.py:631-670)
+                pl, keep = clip_pseudo_labels(
+                    clip_logits, batch["valid"], cfg.clip_pusedo_th
+                )
+                extra = batch["is_extra"][:, None]
+                batch["labels"] = jnp.where(extra, pl, batch["labels"])
+                batch["valid"] = jnp.where(extra, keep, batch["valid"])
         dn_args = {}
         dn_meta = None
         if use_dn:
@@ -81,6 +104,7 @@ def make_train_step(model, cfg, tx):
                 box_noise_scale=cfg.dn_box_noise_scale,
                 num_classes=cfg.num_classes,
                 num_queries=cfg.num_queries,
+                check_pos_dn=cfg.check_pos_dn,
             )
             dn_args = dict(
                 dn_labels=dn_labels,
@@ -91,6 +115,16 @@ def make_train_step(model, cfg, tx):
             params, batch["images"], batch["pad_mask"],
             text_embed=text_embed, train=True, **dn_args,
         )
+        if use_teacher and cfg.clip_distill_objective in ("pred", "pred_all"):
+            # teacher rescoring of the *predicted* boxes
+            # (set_distill_outputs pred path, richsem.py:492-519)
+            _, pred_tgt_logits = clip_teacher_box_targets(
+                clip_model, clip_params, batch["images"],
+                jax.lax.stop_gradient(outputs["pred_boxes"]),
+                batch["size"].astype(jnp.float32), text_embed,
+                clip_params["params"]["logit_scale"],
+            )
+            outputs["teacher_clip_logits"] = pred_tgt_logits
         targets = {
             "labels": batch["labels"],
             "boxes": batch["boxes"],
@@ -98,6 +132,8 @@ def make_train_step(model, cfg, tx):
         }
         if "clip_logits" in batch:
             targets["clip_logits"] = batch["clip_logits"]
+        if "clip_embed" in batch:
+            targets["clip_embed"] = batch["clip_embed"]
         if dn_meta is not None:
             dn_meta = expand_dn_targets(
                 batch["labels"], batch["boxes"], batch["valid"], dn_meta,
@@ -115,7 +151,9 @@ def make_train_step(model, cfg, tx):
             use_fed_loss=cfg.use_fed_loss,
             fed_num_sample_cats=cfg.fed_num_sample_cats,
             fed_weight=batch.get("fed_weight"),
+            use_fed_on_kd=getattr(cfg, "use_fed_on_kd", False),
             distill_type=distill_type,
+            clip_distill_objective=getattr(cfg, "clip_distill_objective", "gt"),
             use_dynamic_distill_weight=cfg.use_dynamic_distill_weight,
             dn_meta=dn_meta,
         )
@@ -143,9 +181,10 @@ def make_train_step(model, cfg, tx):
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
         text_embed: Optional[jnp.ndarray] = None,
+        clip_params: Optional[Any] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng, text_embed
+            state.params, batch, rng, text_embed, clip_params
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

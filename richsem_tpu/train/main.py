@@ -106,10 +106,14 @@ def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
     )
     if cfg.use_imagenet:
         extra_ds = build_dataset("train", cfg, imagenet_lvis=True)
+        extra_buckets = list(buckets)
+        if cfg.imagenet_use_mosaic:
+            extra_buckets.append((1280, 1280))  # 2×(640,640) mosaic canvas
         extra_loader = DataLoader(
             extra_ds,
             ShuffleSampler(len(extra_ds), shard_id, num_shards, cfg.seed),
-            global_batch // num_shards, buckets, max_gt, seed=cfg.seed + 1,
+            global_batch // num_shards, extra_buckets, max_gt,
+            seed=cfg.seed + 1,
         )
         train_loader = MultiDatasetLoader(
             train_loader, extra_loader, cfg.main_weight, cfg.sub_weight
@@ -158,6 +162,33 @@ def _to_device(batch: Dict[str, np.ndarray]):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def test_submission(cfg, model, params, val_loader, text_embed=None):
+    """Submission mode: COCO-format result records (engine.py:333-447
+    ``test`` + ``convert_to_xywh`` parity)."""
+    eval_step = make_eval_step(model, cfg)
+    records = []
+    for batch in val_loader.epoch(0):
+        results = jax.device_get(eval_step(params, _to_device(batch), text_embed))
+        for i in range(len(batch["image_id"])):
+            boxes = results["boxes"][i]
+            xywh = np.stack(
+                [boxes[:, 0], boxes[:, 1], boxes[:, 2] - boxes[:, 0],
+                 boxes[:, 3] - boxes[:, 1]], axis=1,
+            )
+            for k in range(len(xywh)):
+                if results["scores"][i, k] <= 0:
+                    continue
+                records.append(
+                    {
+                        "image_id": int(batch["image_id"][i]),
+                        "category_id": int(results["labels"][i, k]),
+                        "bbox": [round(float(v), 2) for v in xywh[k]],
+                        "score": round(float(results["scores"][i, k]), 5),
+                    }
+                )
+    return records
+
+
 def train_loop(cfg) -> Dict:
     init_distributed()
     logger = setup_logger(cfg.output_dir or None, process_index=jax.process_index())
@@ -195,9 +226,43 @@ def train_loop(cfg) -> Dict:
             params, pretrained, cfg.finetune_ignore or []
         )
 
+    # ---- CLIP semantic branch (use_language / use_visual_distill) -------
+    text_embed = None
+    clip_model = None
+    clip_params = None
+    if cfg.use_language or cfg.use_visual_distill:
+        import pickle
+
+        from richsem_tpu.models.clip import CLIP, CLIPConfig
+        from richsem_tpu.models.clip.tokenizer import SimpleTokenizer
+        from richsem_tpu.models.clip_align import build_text_embedding
+
+        clip_cfg = (
+            CLIPConfig.rn50() if cfg.clip_model == "RN50" else CLIPConfig.vit_b32()
+        )
+        clip_model = CLIP(clip_cfg)
+        with open(cfg.clip_checkpoint_path, "rb") as f:
+            clip_params = pickle.load(f)
+        tokenizer = SimpleTokenizer(cfg.clip_bpe_path)
+        cats = {cid: c for cid, c in val_ds.index.cats.items()}
+        logger.info(f"building text bank for {len(cats)} categories…")
+        text_embed = build_text_embedding(
+            clip_model, clip_params, cats, tokenizer
+        )
+
+    fed_weight = None
+    if cfg.use_fed_loss:
+        from richsem_tpu.data.coco_api import category_image_counts
+
+        counts = category_image_counts(
+            train_ds.index, cfg.num_classes,
+            {c: c for c in train_ds.index.cats},
+        )
+        fed_weight = jnp.asarray(counts) ** 0.5
+
     tx = build_optimizer(params, cfg, steps_per_epoch)
     state = create_train_state(params, tx, use_ema=cfg.use_ema)
-    train_step = make_train_step(model, cfg, tx)
+    train_step = make_train_step(model, cfg, tx, clip_model=clip_model)
 
     ckpt: Optional[CheckpointManager] = None
     start_epoch = cfg.start_epoch
@@ -208,8 +273,22 @@ def train_loop(cfg) -> Dict:
             logger.info(f"auto-resuming from step {latest}")
             state = ckpt.restore(state)
             start_epoch = int(latest) // steps_per_epoch
+    if cfg.resume and (ckpt is None or ckpt.latest_step() is None):
+        # explicit --resume from another run's checkpoint dir (main.py:344-349)
+        src = CheckpointManager(cfg.resume)
+        step = src.latest_step()
+        logger.info(f"resuming from {cfg.resume} step {step}")
+        state = src.restore(state)
+        start_epoch = int(step) // steps_per_epoch
+        src.close()
 
-    text_embed = None  # CLIP text bank wired by the semantic branch (stage 6)
+    if cfg.test:
+        res = test_submission(cfg, model, state.params, val_loader, text_embed)
+        out_path = os.path.join(cfg.output_dir or ".", "results.json")
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+        logger.info(f"wrote {len(res)} detections to {out_path}")
+        return {"test": out_path}
 
     if cfg.eval:
         stats = evaluate(cfg, model, state.params,
@@ -228,7 +307,12 @@ def train_loop(cfg) -> Dict:
                            header=f"Epoch [{epoch}]", total=steps_per_epoch)
         ):
             rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, _to_device(batch), step_rng)
+            dev_batch = _to_device(batch)
+            if fed_weight is not None:
+                dev_batch["fed_weight"] = fed_weight
+            state, metrics = train_step(
+                state, dev_batch, step_rng, text_embed, clip_params
+            )
             if it % 50 == 0:
                 m = jax.device_get(metrics)
                 if not bool(m["finite"]):
