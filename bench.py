@@ -66,14 +66,16 @@ def main() -> None:
     train_step = make_train_step(model, cfg, tx)
 
     rng = jax.random.PRNGKey(1)
-    # compile + warmup
+    # compile + warmup. NOTE: over the axon tunnel, block_until_ready on a
+    # remote array can return before the program finishes — a blocking
+    # scalar read (float()) is the only honest completion barrier.
     state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     n = 10
     t0 = time.time()
     for i in range(n):
         state, metrics = train_step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = (time.time() - t0) / n
     ips = BATCH / dt
 

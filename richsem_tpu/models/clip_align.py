@@ -114,9 +114,10 @@ def clip_teacher_box_targets(
         crops.reshape(b * g, grid, grid, crops.shape[-1]),
         method=CLIP.attnpool,
     ).reshape(b, g, -1)
-    pooled = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-9)
-    t = text_embed.astype(jnp.float32)
-    t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+    from richsem_tpu.utils.misc import l2_normalize
+
+    pooled = l2_normalize(pooled)
+    t = l2_normalize(text_embed.astype(jnp.float32))
     logits = jnp.exp(logit_scale) * (pooled @ t.T)
     return jax.lax.stop_gradient(pooled), jax.lax.stop_gradient(logits)
 

@@ -225,7 +225,9 @@ def distill_loss_l1(
     sel = jnp.take_along_axis(
         pred_clip_embed.astype(jnp.float32), jnp.clip(col, 0)[..., None], axis=1
     )
-    sel = sel / (jnp.linalg.norm(sel, axis=-1, keepdims=True) + 1e-9)
+    from richsem_tpu.utils.misc import l2_normalize
+
+    sel = l2_normalize(sel)
     m = (gt_valid & (col >= 0)).astype(jnp.float32)
     l1 = jnp.abs(sel - tgt_clip_embed.astype(jnp.float32)).sum(-1)
     return (l1 * m).sum() / num_boxes

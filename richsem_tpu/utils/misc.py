@@ -12,8 +12,21 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Gradient-safe L2 normalize.
+
+    ``x / (jnp.linalg.norm(x) + eps)`` has a NaN *gradient* at x == 0
+    (0/0 inside the sqrt VJP) — and zero vectors do occur (e.g. the
+    encoder-output memory is zeroed at invalid proposals). ``sqrt(Σx²+eps²)``
+    keeps both the value and the gradient finite everywhere.
+    """
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps * eps)
 
 
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
