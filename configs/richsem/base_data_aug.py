@@ -13,7 +13,7 @@ data_aug_scale_overlap = None
 train_canvas_buckets = [
     (896, 1344),   # landscape, shortest side <= 800 @ max 1333 (rounded /64)
     (1344, 896),   # portrait
-    (1120, 1120),  # near-square
+    (1152, 1152),  # near-square (div 64 for the tiled msda path)
 ]
 eval_canvas = (896, 1344)  # eval resize is fixed shortest-side 800 @ max 1333
 size_divisibility = 32

@@ -166,3 +166,9 @@ profile_dir = ""
 # ---- CLIP asset paths (supplied by the user; zero-egress image) ------------
 clip_checkpoint_path = "DATASET/clip/clip_rn50_params.pkl"   # tools/convert_clip.py
 clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"
+
+# encoder deformable-attention kernel: 'tiled' = windowed MXU fast path
+# (exact within `msda_margin` px; see richsem_tpu/ops/ms_deform_attn_tiled.py),
+# auto-falls back to the exact gather path on unsupported shapes.
+msda_impl = "tiled"
+msda_margin = 8

@@ -93,9 +93,11 @@ class DINOConfig:
     # dn
     dn_labelbook_size: int = 1204
     dn_labelbook_reuse_cls: bool = True
-    # precision / memory
+    # precision / memory / kernels
     compute_dtype: Any = jnp.float32
     use_checkpoint: bool = False  # remat encoder/decoder layers
+    msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
+    msda_margin: int = 8
 
     @classmethod
     def from_config(cls, cfg) -> "DINOConfig":
@@ -129,6 +131,8 @@ class DINOConfig:
             dn_labelbook_reuse_cls=cfg.dn_labelbook_reuse_cls,
             compute_dtype=compute_dtype,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            msda_impl=getattr(cfg, "msda_impl", "gather"),
+            msda_margin=getattr(cfg, "msda_margin", 8),
         )
 
 
@@ -145,7 +149,8 @@ class DeformableEncoderLayer(nn.Module):
         attn_out = MSDeformAttn(
             d_model=c.hidden_dim, n_levels=c.num_feature_levels,
             n_heads=c.nheads, n_points=c.enc_n_points,
-            compute_dtype=c.compute_dtype, name="self_attn",
+            compute_dtype=c.compute_dtype, impl=c.msda_impl,
+            tiled_margin=c.msda_margin, name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src + attn_out)

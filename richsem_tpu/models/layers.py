@@ -65,13 +65,21 @@ def _directional_offset_bias(n_heads: int, n_levels: int, n_points: int) -> np.n
 
 
 class MSDeformAttn(nn.Module):
-    """Multi-scale deformable attention module (learned heads + sampler)."""
+    """Multi-scale deformable attention module (learned heads + sampler).
+
+    ``impl='tiled'`` routes encoder self-attention (Q == S on a supported
+    power-of-two pyramid) through the windowed MXU kernel
+    (:mod:`richsem_tpu.ops.ms_deform_attn_tiled`, ~2.7× faster backward);
+    anything else falls back to the exact gather path automatically.
+    """
 
     d_model: int = 256
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
     compute_dtype: jnp.dtype = jnp.float32
+    impl: str = "gather"  # 'gather' | 'tiled'
+    tiled_margin: int = 8
 
     @nn.compact
     def __call__(
@@ -118,7 +126,20 @@ class MSDeformAttn(nn.Module):
         loc = compute_sampling_locations(
             reference_points.astype(jnp.float32), offsets, spatial_shapes, p
         )
-        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        use_tiled = False
+        if self.impl == "tiled" and q == s:
+            from richsem_tpu.ops.ms_deform_attn_tiled import (
+                ms_deform_attn_tiled,
+                tiled_supported,
+            )
+
+            use_tiled = tiled_supported(spatial_shapes)
+        if use_tiled:
+            out = ms_deform_attn_tiled(
+                value, spatial_shapes, loc, attn, margin=self.tiled_margin
+            )
+        else:
+            out = ms_deform_attn(value, spatial_shapes, loc, attn)
         return nn.Dense(
             self.d_model,
             kernel_init=nn.initializers.xavier_uniform(),
