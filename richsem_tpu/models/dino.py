@@ -230,13 +230,36 @@ class DINO(nn.Module):
 
     def setup(self):
         c = self.cfg
-        if c.backbone not in ("resnet50", "resnet101"):
+        if c.backbone in ("resnet50", "resnet101"):
+            blocks = (3, 4, 6, 3) if c.backbone == "resnet50" else (3, 4, 23, 3)
+            self.backbone = ResNet(
+                block_counts=blocks, return_strides=c.return_strides,
+                name="backbone",
+            )
+            n_backbone = len(c.return_strides)
+        elif c.backbone.startswith("swin"):
+            from richsem_tpu.models.swin import SwinConfig, SwinTransformer
+
+            self.backbone = SwinTransformer(
+                SwinConfig.variant(c.backbone), name="backbone"
+            )
+            n_backbone = 3
+        elif c.backbone.startswith("convnext"):
+            from richsem_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
+
+            self.backbone = ConvNeXt(
+                ConvNeXtConfig.variant(c.backbone), name="backbone"
+            )
+            n_backbone = 3
+        elif c.backbone.startswith("focalnet"):
+            from richsem_tpu.models.focalnet import FocalNet, FocalNetConfig
+
+            self.backbone = FocalNet(
+                FocalNetConfig.variant(c.backbone), name="backbone"
+            )
+            n_backbone = 3
+        else:
             raise NotImplementedError(c.backbone)
-        blocks = (3, 4, 6, 3) if c.backbone == "resnet50" else (3, 4, 23, 3)
-        self.backbone = ResNet(
-            block_counts=blocks, return_strides=c.return_strides, name="backbone"
-        )
-        n_backbone = len(c.return_strides)
         self.input_projs = [
             InputProj(c.hidden_dim, extra_level=(i >= n_backbone),
                       name=f"input_proj{i}")
