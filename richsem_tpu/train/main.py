@@ -300,6 +300,12 @@ def train_loop(cfg) -> Dict:
     rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
 
     for epoch in range(start_epoch, cfg.epochs):
+        if cfg.use_ema and epoch == cfg.ema_epoch and cfg.ema_epoch > 0:
+            # EMA starts tracking at ema_epoch (util/utils.py ModelEma +
+            # main.py:337-342 rebuild semantics)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params)
+            )
         mlog = MetricLogger(logger=logger)
         t0 = time.time()
         for it, batch in enumerate(
