@@ -291,4 +291,16 @@ def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
         return DetectionDataset(
             os.path.join(root, "coco", split), index, tf, is_train=is_train
         )
+    if name in ("o365", "vg", "oid", "cc3m"):
+        # COCO-format extra datasets (datasets/coco.py:804-822
+        # build_extra_cocostyle_data): annotations at
+        # <root>/<name>/annotations/{train,val}.json, images under
+        # <root>/<name>/; weak-label semantics via is_extra
+        split = "train" if is_train else "val"
+        ann = os.path.join(root, name, "annotations", f"{split}.json")
+        index = CocoIndex(ann)
+        return DetectionDataset(
+            os.path.join(root, name), index, tf, is_train=is_train,
+            is_extra=getattr(cfg, "use_extra_data", False),
+        )
     raise ValueError(f"unknown dataset_file {name!r}")

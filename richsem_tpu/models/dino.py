@@ -271,10 +271,18 @@ class DINO(nn.Module):
         )
         enc_cls, dec_cls = DeformableEncoderLayer, DeformableDecoderLayer
         if c.use_checkpoint:
-            # rematerialize per layer: trade recompute for HBM
-            # (the reference's `use_checkpoint` knob, backbone.py:195)
-            enc_cls = nn.remat(DeformableEncoderLayer, static_argnums=(4, 6))
-            dec_cls = nn.remat(DeformableDecoderLayer, static_argnums=(5, 8))
+            # rematerialize per layer: trade recompute for HBM (the
+            # reference's `use_checkpoint` knob, backbone.py:195).
+            # dots_saveable keeps matmul outputs (small) so the backward only
+            # rebuilds the cheap elementwise/window tensors.
+            enc_cls = nn.remat(
+                DeformableEncoderLayer, static_argnums=(4, 6),
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
+            dec_cls = nn.remat(
+                DeformableDecoderLayer, static_argnums=(5, 8),
+                policy=jax.checkpoint_policies.dots_saveable,
+            )
         self.encoder_layers = [
             enc_cls(c, name=f"encoder_layer{i}") for i in range(c.enc_layers)
         ]

@@ -137,13 +137,30 @@ def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=Non
         evaluator = LvisEvaluator(val_ds.index, max_dets=cfg.num_select)
     else:
         evaluator = CocoEvaluator(val_ds.index, max_dets=cfg.num_select)
+    multihost = jax.process_count() > 1
     n = 0
     for batch in val_loader.epoch(0):
         results = eval_step(params, _to_device(batch), text_embed)
-        results = jax.device_get(results)
+        if multihost:
+            # each process evaluates a shard; gather fixed-shape prediction
+            # arrays host-side (the reference's pickle-all_gather eval merge,
+            # lvis_eval.py:118-123, rebuilt on multihost_utils)
+            from jax.experimental import multihost_utils
+
+            results = jax.device_get(
+                multihost_utils.process_allgather(results)
+            )
+            ids = multihost_utils.process_allgather(
+                jnp.asarray(batch["image_id"])
+            )
+            results = {k: v.reshape(-1, *v.shape[2:]) for k, v in results.items()}
+            image_ids = np.asarray(ids).reshape(-1)
+        else:
+            results = jax.device_get(results)
+            image_ids = batch["image_id"]
         preds = {}
-        for i in range(len(batch["image_id"])):
-            preds[int(batch["image_id"][i])] = {
+        for i in range(len(image_ids)):
+            preds[int(image_ids[i])] = {
                 "scores": results["scores"][i],
                 "labels": results["labels"][i],
                 "boxes": results["boxes"][i],
