@@ -51,12 +51,14 @@ class DetectionDataset:
         is_extra: bool = False,
         drop_ratio: float = 0.0,
         seed: int = 0,
+        with_masks: bool = False,
     ):
         self.img_root = img_root
         self.index = index
         self.transform = transform
         self.is_train = is_train
         self.is_extra = is_extra
+        self.with_masks = with_masks
         self.img_ids = index.get_img_ids()
         if drop_ratio > 0:  # lvis partial-annotation drop (lvis.py:281-293)
             rng = random.Random(seed)
@@ -82,7 +84,7 @@ class DetectionDataset:
         if img is None:
             return None
         h, w = img.shape[:2]
-        boxes, labels, area, iscrowd = [], [], [], []
+        boxes, labels, area, iscrowd, masks = [], [], [], [], []
         for a in self.index.load_anns_for_img(img_id):
             if a.get("iscrowd", 0) and self.is_train:
                 continue
@@ -95,7 +97,15 @@ class DetectionDataset:
             labels.append(a["category_id"])
             area.append(a.get("area", (x1 - x0) * (y1 - y0)))
             iscrowd.append(a.get("iscrowd", 0))
+            if self.with_masks:
+                masks.append(_polygons_to_mask(a.get("segmentation"), h, w))
+        extra_fields = {}
+        if self.with_masks:
+            extra_fields["masks"] = (
+                np.stack(masks) if masks else np.zeros((0, h, w), bool)
+            )
         return {
+            **extra_fields,
             "image": img,
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int64),
@@ -283,13 +293,15 @@ def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
         return DetectionDataset(
             os.path.join(root, "coco"), index, tf, is_train=is_train,
             drop_ratio=getattr(cfg, "lvis_drop_ratio", 0.0) if is_train else 0.0,
+            with_masks=getattr(cfg, "masks", False),
         )
     if name == "coco":
         split = "train2017" if is_train else "val2017"
         ann = os.path.join(root, "coco", "annotations", f"instances_{split}.json")
         index = CocoIndex(ann)
         return DetectionDataset(
-            os.path.join(root, "coco", split), index, tf, is_train=is_train
+            os.path.join(root, "coco", split), index, tf, is_train=is_train,
+            with_masks=getattr(cfg, "masks", False),
         )
     if name in ("o365", "vg", "oid", "cc3m"):
         # COCO-format extra datasets (datasets/coco.py:804-822
@@ -304,3 +316,22 @@ def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
             is_extra=getattr(cfg, "use_extra_data", False),
         )
     raise ValueError(f"unknown dataset_file {name!r}")
+
+
+def _polygons_to_mask(segmentation, h: int, w: int) -> np.ndarray:
+    """COCO polygon segmentation → bool bitmap [h, w].
+
+    Replaces pycocotools' annToMask (ConvertCocoPolysToMask,
+    datasets/coco.py:463-526) with cv2.fillPoly; RLE segmentations (crowd)
+    are not rasterized (crowds are filtered in training).
+    """
+    mask = np.zeros((h, w), np.uint8)
+    if isinstance(segmentation, list):
+        polys = [
+            np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)
+            for p in segmentation
+            if len(p) >= 6
+        ]
+        if polys:
+            cv2.fillPoly(mask, polys, 1)
+    return mask.astype(bool)

@@ -44,6 +44,8 @@ def hflip(r: Record) -> Record:
         b = r["boxes"].copy()
         b[:, [0, 2]] = w - b[:, [2, 0]]
         r["boxes"] = b
+    if "masks" in r and len(r["masks"]):
+        r["masks"] = np.ascontiguousarray(r["masks"][:, :, ::-1])
     return r
 
 
@@ -76,6 +78,14 @@ def resize(r: Record, size: int, max_size: Optional[int] = None) -> Record:
         r["boxes"] = r["boxes"] * np.array([rw, rh, rw, rh], np.float32)
     if "area" in r:
         r["area"] = r["area"] * (rw * rh)
+    if "masks" in r and len(r["masks"]) and (nh, nw) != (h, w):
+        r["masks"] = np.stack(
+            [
+                cv2.resize(m.astype(np.uint8), (nw, nh),
+                           interpolation=cv2.INTER_NEAREST)
+                for m in r["masks"]
+            ]
+        ).astype(bool)
     r["size"] = (nh, nw)
     return r
 
@@ -94,6 +104,8 @@ def crop(r: Record, top: int, left: int, ch: int, cw: int) -> Record:
         for f in ("labels", "area", "iscrowd"):
             if f in r:
                 r[f] = r[f][keep]
+        if "masks" in r and len(r["masks"]):
+            r["masks"] = r["masks"][:, top : top + ch, left : left + cw][keep]
         r["area"] = (
             (r["boxes"][:, 2] - r["boxes"][:, 0])
             * (r["boxes"][:, 3] - r["boxes"][:, 1])

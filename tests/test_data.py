@@ -157,3 +157,19 @@ def test_multi_dataset_interleave():
     # alternating main/sub, ends when main exhausts (3 main batches)
     assert flags[:2] == [False, True]
     assert sum(not f for f in flags) == 3
+
+
+def test_mask_transforms():
+    from richsem_tpu.data.datasets import _polygons_to_mask
+
+    m = _polygons_to_mask([[2, 2, 10, 2, 10, 8, 2, 8]], 12, 14)
+    assert m.shape == (12, 14)
+    assert m[4, 5] and not m[0, 0]
+    rec = _record()
+    rec["masks"] = np.stack([m[:10, :15] if False else np.pad(m, ((0,88),(0,136)))[:100,:150]]*2)
+    flipped = T.hflip(rec)
+    assert flipped["masks"].shape == rec["masks"].shape
+    resized = T.resize(rec, 50)
+    assert resized["masks"].shape[1:] == resized["image"].shape[:2]
+    cropped = T.crop(rec, 0, 0, 60, 80)
+    assert cropped["masks"].shape[1:] == (60, 80)
