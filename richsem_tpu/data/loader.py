@@ -59,6 +59,9 @@ def collate(
     orig = np.zeros((b, 2), np.int32)
     image_ids = np.zeros((b,), np.int64)
     is_extra = np.zeros((b,), bool)
+    with_masks = any("masks" in r for r in records)
+    if with_masks:
+        gt_masks = np.zeros((b, max_gt, bh // 8, bw // 8), bool)
     for i, r in enumerate(records):
         h, w = r["size"]
         images[i, :h, :w] = r["image"]
@@ -71,7 +74,17 @@ def collate(
         orig[i] = r["orig_size"]
         image_ids[i] = r["image_id"]
         is_extra[i] = r.get("is_extra", False)
-    return {
+        if with_masks and len(r.get("masks", ())):
+            import cv2
+
+            for j in range(n):
+                mj = r["masks"][j].astype(np.uint8)
+                small = cv2.resize(
+                    mj, (max(w // 8, 1), max(h // 8, 1)),
+                    interpolation=cv2.INTER_NEAREST,
+                )
+                gt_masks[i, j, : small.shape[0], : small.shape[1]] = small > 0
+    out = {
         "images": images,
         "pad_mask": pad_mask,
         "labels": labels,
@@ -82,6 +95,9 @@ def collate(
         "image_id": image_ids,
         "is_extra": is_extra,
     }
+    if with_masks:
+        out["masks"] = gt_masks
+    return out
 
 
 class DataLoader:

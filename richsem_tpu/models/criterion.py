@@ -325,6 +325,13 @@ def set_criterion(
     # ---- final decoder layer ----------------------------------------
     col = run_matcher(outputs)
     losses.update(one_set(outputs, rngs[0], col, num_boxes, has_distill))
+    if "pred_masks" in outputs and "masks" in targets:
+        from richsem_tpu.models.segmentation import loss_masks as _loss_masks
+
+        losses.update(
+            _loss_masks(outputs["pred_masks"], col, targets["masks"],
+                        gt_valid, num_boxes)
+        )
 
     # ---- DN losses ---------------------------------------------------
     if dn_meta is not None and "dn_outputs" in outputs:
@@ -436,6 +443,9 @@ def build_weight_dict(cfg) -> Dict[str, float]:
         "loss_giou": cfg.giou_loss_coef,
     }
     wd = dict(base)
+    if getattr(cfg, "masks", False):
+        wd["loss_mask"] = cfg.mask_loss_coef
+        wd["loss_dice"] = cfg.dice_loss_coef
     use_distill = getattr(cfg, "use_visual_distill", False)
     if cfg.use_dn:
         wd.update({f"{k}_dn": v for k, v in base.items()})

@@ -98,6 +98,7 @@ class DINOConfig:
     use_checkpoint: bool = False  # remat encoder/decoder layers
     msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
     msda_margin: int = 8
+    masks: bool = False  # instance segmentation heads (DETRsegm parity)
 
     @classmethod
     def from_config(cls, cfg) -> "DINOConfig":
@@ -133,6 +134,7 @@ class DINOConfig:
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             msda_margin=getattr(cfg, "msda_margin", 8),
+            masks=getattr(cfg, "masks", False),
         )
 
 
@@ -355,6 +357,16 @@ class DINO(nn.Module):
                 kernel_init=nn.initializers.normal(c.clip_embed_dim**-0.5),
                 name="label_proj",
             )
+        if c.masks:
+            from richsem_tpu.models.segmentation import (
+                MaskHeadSmallConv,
+                MHAttentionMap,
+            )
+
+            self.mask_attention = MHAttentionMap(
+                c.hidden_dim, c.nheads, name="mask_attention")
+            self.mask_head = MaskHeadSmallConv(
+                c.hidden_dim, c.nheads, name="mask_head")
         if c.use_visual_distill:
             init = nn.initializers.normal(c.clip_embed_dim**-0.5)
             if c.use_mlp_proj:
@@ -579,5 +591,16 @@ class DINO(nn.Module):
             "pred_logits": interm_class,
             "pred_boxes": init_box_proposal,
         }
+        if c.masks:
+            # DETRsegm: per-query attention over the stride-32 projected
+            # feature, FPN mask head through C4/C3 (segmentation.py:20-170)
+            hs_match = hs_layers[-1][:, num_dn:]
+            c5_idx = len(feats) - 1
+            attn_maps = self.mask_attention(
+                hs_match, srcs[c5_idx], masks[c5_idx]
+            )
+            out["pred_masks"] = self.mask_head(
+                attn_maps, srcs[c5_idx], srcs[c5_idx - 1], srcs[c5_idx - 2]
+            )
         out["hs"] = hs_layers[-1][:, num_dn:]
         return out

@@ -130,6 +130,8 @@ def make_train_step(model, cfg, tx, clip_model=None):
             "boxes": batch["boxes"],
             "valid": batch["valid"],
         }
+        if "masks" in batch:
+            targets["masks"] = batch["masks"]
         if "clip_logits" in batch:
             targets["clip_logits"] = batch["clip_logits"]
         if "clip_embed" in batch:
