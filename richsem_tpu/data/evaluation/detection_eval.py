@@ -191,8 +191,10 @@ class DetectionEvaluator:
         n_gt = int((~g_ignore).sum())
         return _ImgCatEval(scores, matched & ~matched_ignored, dt_ignored, d_area, n_gt)
 
-    def _accumulate(self, cat_ids: Sequence[int], area_name: str):
-        """→ per-category AP [C, T] and AR [C, T] for one area range."""
+    def _accumulate(self, cat_ids: Sequence[int], area_name: str,
+                    max_dets: Optional[int] = None):
+        """→ per-category AP [C, T] and AR [C, T] for one area range,
+        optionally capping detections per image-category (COCO AR@k)."""
         area_rng = AREA_RNG[area_name]
         t_n = len(IOU_THRS)
         ap = np.full((len(cat_ids), t_n), np.nan)
@@ -209,10 +211,21 @@ class DetectionEvaluator:
             n_gt = sum(e.n_gt for e in evals)
             if n_gt == 0:
                 continue
-            scores = np.concatenate([e.dt_scores for e in evals])
-            order = np.argsort(-scores, kind="mergesort")
-            matched = np.concatenate([e.dt_matched for e in evals], axis=1)[:, order]
-            ignored = np.concatenate([e.dt_ignored for e in evals], axis=1)[:, order]
+            if max_dets is not None:
+                # keep top-k dets per image-category (already score-sorted)
+                def cap(e):
+                    return (e.dt_scores[:max_dets], e.dt_matched[:, :max_dets],
+                            e.dt_ignored[:, :max_dets])
+                capped = [cap(e) for e in evals]
+                scores = np.concatenate([c[0] for c in capped])
+                order = np.argsort(-scores, kind="mergesort")
+                matched = np.concatenate([c[1] for c in capped], axis=1)[:, order]
+                ignored = np.concatenate([c[2] for c in capped], axis=1)[:, order]
+            else:
+                scores = np.concatenate([e.dt_scores for e in evals])
+                order = np.argsort(-scores, kind="mergesort")
+                matched = np.concatenate([e.dt_matched for e in evals], axis=1)[:, order]
+                ignored = np.concatenate([e.dt_ignored for e in evals], axis=1)[:, order]
             for ti in range(t_n):
                 keep = ~ignored[ti]
                 tp = np.cumsum(matched[ti][keep])
@@ -283,7 +296,10 @@ class DetectionEvaluator:
                 rows = [i for i, c in enumerate(cat_ids) if freq.get(c) == band]
                 stats[key] = mean(ap_all[rows]) if rows else float("nan")
         else:
-            stats["AR@100"] = mean(ar_all)
+            # COCO AR@k (recall at capped detections per image-category)
+            for k in (1, 10, 100):
+                _, ar_k = self._accumulate(cat_ids, "all", max_dets=k)
+                stats[f"AR@{k}"] = mean(ar_k)
         self.stats = stats
         return stats
 
@@ -293,7 +309,8 @@ class DetectionEvaluator:
         if self.mode == "lvis":
             keys = ["AP", "AP50", "AP75", "APs", "APm", "APl", "APr", "APc", "APf"]
         else:
-            keys = ["AP", "AP50", "AP75", "APs", "APm", "APl"]
+            keys = ["AP", "AP50", "AP75", "APs", "APm", "APl",
+                    "AR@1", "AR@10", "AR@100"]
         return [s[k] for k in keys]
 
 

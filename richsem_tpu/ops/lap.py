@@ -123,6 +123,15 @@ def auction_assignment(
 
     obj_of, _ = bidding_round(eps_rel * scale, jnp.zeros((o,), jnp.float32))
 
+    # Safety fallback: if the iteration cap was hit (pathological bidding
+    # wars on near-tied costs), assign the stragglers greedily to their best
+    # still-free object so no valid person silently stays unmatched.
+    unassigned = person_valid & (obj_of < 0)
+    taken = jnp.zeros((o,), bool).at[jnp.clip(obj_of, 0)].set(obj_of >= 0)
+    fallback_benefit = jnp.where(taken[None, :], _NEG_INF, benefit)
+    greedy = jnp.argmax(fallback_benefit, axis=1).astype(jnp.int32)
+    obj_of = jnp.where(unassigned, greedy, obj_of)
+
     realized = jnp.where(
         obj_of >= 0,
         jnp.take_along_axis(

@@ -149,3 +149,16 @@ def test_frequency_band_grouping():
     assert s["APr"] == 1.0
     assert s["APf"] == 0.0
     np.testing.assert_allclose(s["AP"], 0.5, atol=1e-6)
+
+
+def test_coco_ar_at_k():
+    """AR@1 counts only the single best det per image-category."""
+    ev = DetectionEvaluator(mode="coco")
+    ev.add_gt(1, [_gt([0, 0, 10, 10]), _gt([20, 20, 30, 30])])
+    # two perfect dets; the second is lower-scored
+    ev.update(
+        {1: _pred([[0, 0, 10, 10], [20, 20, 30, 30]], [0.9, 0.8], [1, 1])}
+    )
+    s = ev.summarize()
+    assert abs(s["AR@1"] - 0.5) < 1e-6   # only one det allowed
+    assert abs(s["AR@10"] - 1.0) < 1e-6

@@ -100,3 +100,16 @@ def test_greedy_assignment(rng):
     valid = np.array([[True, False]])
     out = np.asarray(greedy_assignment(jnp.asarray(cost), jnp.asarray(valid)))
     assert out[0, 0] == 1 and out[0, 1] == -1
+
+
+def test_iteration_cap_fallback(rng):
+    """All-tied benefits + tiny iteration cap: every valid person still gets
+    an object (greedy fallback), preferring one-to-one."""
+    p, o = 20, 60
+    cost = np.zeros((p, o), np.float32)  # fully degenerate ties
+    valid = np.ones(p, bool)
+    obj_of, _ = auction_assignment(
+        jnp.asarray(-cost), jnp.asarray(valid), max_iters=3
+    )
+    obj_of = np.asarray(obj_of)
+    assert (obj_of >= 0).all()
