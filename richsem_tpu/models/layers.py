@@ -80,6 +80,7 @@ class MSDeformAttn(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     impl: str = "gather"  # 'gather' | 'tiled'
     tiled_margin: int = 8
+    tiled_tile: Tuple[int, int] = (16, 16)  # swept optimum on v5e
 
     @nn.compact
     def __call__(
@@ -133,10 +134,11 @@ class MSDeformAttn(nn.Module):
                 tiled_supported,
             )
 
-            use_tiled = tiled_supported(spatial_shapes)
+            use_tiled = tiled_supported(spatial_shapes, self.tiled_tile)
         if use_tiled:
             out = ms_deform_attn_tiled(
-                value, spatial_shapes, loc, attn, margin=self.tiled_margin
+                value, spatial_shapes, loc, attn, tile=self.tiled_tile,
+                margin=self.tiled_margin,
             )
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)

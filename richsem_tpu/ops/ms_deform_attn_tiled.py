@@ -63,7 +63,7 @@ def _plan(spatial_shapes, tile):
 
 
 def tiled_supported(
-    spatial_shapes: Sequence[Tuple[int, int]], tile: Tuple[int, int] = (8, 16)
+    spatial_shapes: Sequence[Tuple[int, int]], tile: Tuple[int, int] = (16, 16)
 ) -> bool:
     return _plan(tuple(spatial_shapes), tile) is not None
 
@@ -113,7 +113,7 @@ def ms_deform_attn_tiled(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,  # [B, Q=S, M, L, P, 2]
     attention_weights: jnp.ndarray,  # [B, Q=S, M, L, P]
-    tile: Tuple[int, int] = (8, 16),
+    tile: Tuple[int, int] = (16, 16),
     margin: int = 8,
 ) -> jnp.ndarray:
     b, s, m, d = value.shape
