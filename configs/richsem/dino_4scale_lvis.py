@@ -172,3 +172,4 @@ clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"
 # auto-falls back to the exact gather path on unsupported shapes.
 msda_impl = "tiled"
 msda_margin = 8
+msda_tile = (16, 16)   # tiled-kernel query tile (swept optimum on v5e)

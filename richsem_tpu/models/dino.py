@@ -98,6 +98,7 @@ class DINOConfig:
     use_checkpoint: bool = False  # remat encoder/decoder layers
     msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
     msda_margin: int = 8
+    msda_tile: Tuple[int, int] = (16, 16)
     masks: bool = False  # instance segmentation heads (DETRsegm parity)
 
     @classmethod
@@ -134,6 +135,7 @@ class DINOConfig:
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             msda_margin=getattr(cfg, "msda_margin", 8),
+            msda_tile=tuple(getattr(cfg, "msda_tile", (16, 16))),
             masks=getattr(cfg, "masks", False),
         )
 
@@ -152,7 +154,8 @@ class DeformableEncoderLayer(nn.Module):
             d_model=c.hidden_dim, n_levels=c.num_feature_levels,
             n_heads=c.nheads, n_points=c.enc_n_points,
             compute_dtype=c.compute_dtype, impl=c.msda_impl,
-            tiled_margin=c.msda_margin, name="self_attn",
+            tiled_margin=c.msda_margin, tiled_tile=c.msda_tile,
+            name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src + attn_out)
