@@ -1,12 +1,22 @@
-"""Benchmark: RichSem-DINO R50 4-scale training-step throughput on one chip.
+"""Benchmark: RichSem R50 4-scale (flagship) training-step throughput on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured program is the FULL flagship train step from
+``configs/richsem/richsem_4scale_lvis.py``: CLIP-RN50 frozen teacher
+(whole-image spatial forward + per-GT RoI attnpool targets), open-vocab
+text classifier, visual distillation, CDN, on-device matching, all losses,
+AdamW — i.e. the reference's identity (richsem.py:38-205, 479-555), not the
+DINO baseline.
 
 Baseline context: the reference publishes no throughput (BASELINE.md). The
 comparison point is the commonly-reported DINO-4scale R50 training rate on
 A100 (~55 min/epoch on 8×A100 for COCO-117k ⇒ ≈4.4 images/s/GPU);
 ``vs_baseline`` is the multiple of that A100 rate achieved per TPU chip.
 The project north star is ≥3.0.
+
+CLIP teacher weights are random-initialized here (zero-egress image — no
+OpenAI checkpoint); throughput is independent of weight values.
 """
 
 from __future__ import annotations
@@ -19,7 +29,7 @@ sys.path.insert(0, "/root/repo")
 
 A100_IMAGES_PER_SEC = 4.4
 
-# Production recipe shapes (configs/richsem/dino_4scale_lvis.py): batch 2
+# Production recipe shapes (configs/richsem/richsem_4scale_lvis.py): batch 2
 # per chip, landscape canvas bucket, 1204 classes, 900 queries, DN 100.
 BATCH = 2
 CANVAS = (896, 1344)
@@ -32,11 +42,12 @@ def main() -> None:
     import numpy as np
 
     from richsem_tpu.config import Config
+    from richsem_tpu.models.clip import CLIP, CLIPConfig
     from richsem_tpu.models.dino import DINO, DINOConfig
     from richsem_tpu.train.engine import create_train_state, make_train_step
     from richsem_tpu.train.optim import build_optimizer
 
-    cfg = Config.fromfile("configs/richsem/dino_4scale_lvis.py")
+    cfg = Config.fromfile("configs/richsem/richsem_4scale_lvis.py")
     cfg.compute_dtype = "bfloat16"
     cfg.use_checkpoint = True
     model = DINO(DINOConfig.from_config(cfg))
@@ -55,26 +66,42 @@ def main() -> None:
             jnp.float32,
         ),
         "valid": jnp.asarray(rng_np.uniform(size=(BATCH, MAX_GT)) > 0.5),
+        "size": jnp.asarray([[h - 96, w - 120]] * BATCH, jnp.int32),
         "is_extra": jnp.zeros((BATCH,), bool),
     }
 
+    # frozen CLIP-RN50 teacher + text bank (random weights; shapes/compute
+    # identical to converted OpenAI weights)
+    clip_model = CLIP(CLIPConfig.rn50())
+    clip_params = jax.jit(clip_model.init)(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32),
+    )
+    text_embed = jnp.asarray(
+        rng_np.normal(size=(cfg.num_classes, 1024)), jnp.float32
+    )
+
     params = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"], train=False
+        jax.random.PRNGKey(0), batch["images"], batch["pad_mask"],
+        text_embed=text_embed, train=False,
     )
     tx = build_optimizer(params, cfg, steps_per_epoch=1000)
     state = create_train_state(params, tx)
-    train_step = make_train_step(model, cfg, tx)
+    train_step = make_train_step(model, cfg, tx, clip_model=clip_model)
 
     rng = jax.random.PRNGKey(1)
     # compile + warmup. NOTE: over the axon tunnel, block_until_ready on a
     # remote array can return before the program finishes — a blocking
     # scalar read (float()) is the only honest completion barrier.
-    state, metrics = train_step(state, batch, rng)
+    state, metrics = train_step(state, batch, rng, text_embed, clip_params)
     _ = float(metrics["loss"])
     n = 10
     t0 = time.time()
     for i in range(n):
-        state, metrics = train_step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics = train_step(
+            state, batch, jax.random.fold_in(rng, i), text_embed, clip_params
+        )
     _ = float(metrics["loss"])
     dt = (time.time() - t0) / n
     ips = BATCH / dt
@@ -82,7 +109,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train images/sec/chip (DINO-R50 4-scale LVIS, bs2, 896x1344, bf16)",
+                "metric": "train images/sec/chip (RichSem-R50 4-scale LVIS flagship: CLIP teacher + distill, bs2, 896x1344, bf16)",
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / A100_IMAGES_PER_SEC, 3),

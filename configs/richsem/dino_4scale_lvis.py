@@ -131,6 +131,10 @@ distill_type = "clip_logits"
 distill_loss_coef = 0.5
 clip_distill_objective = "gt"
 use_dynamic_distill_weight = False
+# teacher RoI compaction: attnpool only the first N *valid* GT boxes per
+# image (the reference crops only real boxes, richsem.py:744-768; our padded
+# targets would otherwise run 300 RoIs/image) — LVIS p99 GT count ~100
+distill_max_boxes = 100
 distill_aux_layers = False
 distill_random_boxes = False
 use_mlp_proj = False

@@ -120,6 +120,18 @@ class DetectionDataset:
             ),
         }
 
+    def size_hint(self, i: int):
+        """Post-transform (h, w) predicted from index metadata, or None
+        when the transform is augmentation-dependent (train)."""
+        hint = getattr(self.transform, "size_hint", None)
+        if hint is None:
+            return None
+        info = self.index.load_img(self.img_ids[i])
+        h, w = info.get("height"), info.get("width")
+        if not h or not w:
+            return None
+        return hint(h, w)
+
     def get(self, i: int, rng: random.Random) -> Record:
         """Load with corrupt-image fallback to a random other index."""
         for _ in range(10):

@@ -47,8 +47,9 @@ def collate(
     records: List[Record],
     buckets: Sequence[Tuple[int, int]],
     max_gt: int,
+    canvas: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, np.ndarray]:
-    bh, bw = pick_bucket([r["size"] for r in records], buckets)
+    bh, bw = canvas or pick_bucket([r["size"] for r in records], buckets)
     b = len(records)
     images = np.zeros((b, bh, bw, 3), np.float32)
     pad_mask = np.ones((b, bh, bw), bool)
@@ -114,6 +115,7 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -124,38 +126,90 @@ class DataLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        # pad_last: repeat trailing indices so the final batch has the full
+        # batch_size (one compiled shape; eval dedups by image_id)
+        self.pad_last = pad_last
 
     def __len__(self) -> int:
         n = len(self.sampler.epoch_indices(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _record_bucket(self, r: Record) -> Tuple[int, int]:
+        return pick_bucket([r["size"]], self.buckets)
+
+    def num_batches_hint(self, epoch: int = 0) -> Optional[int]:
+        """Exact batch count when the dataset can predict post-transform
+        sizes from metadata (deterministic eval transform) — used by
+        multihost eval to equalize per-process batch counts without running
+        the pipeline. None when sizes are augmentation-dependent."""
+        size_hint = getattr(self.dataset, "size_hint", None)
+        if size_hint is None:
+            return None
+        per_bucket: Dict[Tuple[int, int], int] = {}
+        for i in self.sampler.epoch_indices(epoch):
+            hw = size_hint(int(i))
+            if hw is None:
+                return None
+            b = pick_bucket([hw], self.buckets)
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        nb = 0
+        for n in per_bucket.values():
+            nb += n // self.batch_size
+            if n % self.batch_size and (self.pad_last or not self.drop_last):
+                nb += 1
+        return nb
+
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Stream records through the thread pool, grouping completed
+        records by canvas bucket; a batch is emitted whenever a bucket
+        group fills. (Batching per-bucket is what makes mixed portrait/
+        landscape data feasible on static canvases: no single canvas fits
+        both orientations of a shortest-side-800 resize.) Leftover partial
+        groups at epoch end are padded (``pad_last``), emitted ragged
+        (``drop_last=False``) or dropped."""
         indices = self.sampler.epoch_indices(epoch)
-        nb = len(indices) // self.batch_size
-        if not self.drop_last and len(indices) % self.batch_size:
-            nb += 1
-        batches = [
-            indices[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(nb)
-        ]
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
 
-        def build(batch_idx: int):
-            rng = random.Random(hash((self.seed, epoch, batch_idx)))
-            recs = [self.dataset.get(int(i), rng) for i in batches[batch_idx]]
-            return collate(recs, self.buckets, self.max_gt)
+        def build(pos: int):
+            rng = random.Random(hash((self.seed, epoch, pos)))
+            return self.dataset.get(int(indices[pos]), rng)
 
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
 
+                groups: Dict[Tuple[int, int], List[Record]] = {}
                 with ThreadPoolExecutor(self.num_threads) as pool:
-                    futures = [pool.submit(build, i) for i in range(len(batches))]
+                    futures = [
+                        pool.submit(build, i) for i in range(len(indices))
+                    ]
                     for f in futures:
                         if stop.is_set():
+                            for g in futures:
+                                g.cancel()
                             return
-                        q.put(("ok", f.result()))
+                        r = f.result()
+                        key = self._record_bucket(r)
+                        grp = groups.setdefault(key, [])
+                        grp.append(r)
+                        if len(grp) == self.batch_size:
+                            q.put(("ok", collate(grp, self.buckets,
+                                                 self.max_gt, canvas=key)))
+                            groups[key] = []
+                # flush leftovers
+                for key, grp in groups.items():
+                    if not grp or stop.is_set():
+                        continue
+                    if self.pad_last:
+                        base = list(grp)
+                        while len(grp) < self.batch_size:
+                            grp.append(base[(len(grp) - len(base)) % len(base)])
+                        q.put(("ok", collate(grp, self.buckets,
+                                             self.max_gt, canvas=key)))
+                    elif not self.drop_last:
+                        q.put(("ok", collate(grp, self.buckets,
+                                             self.max_gt, canvas=key)))
                 q.put(("done", None))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(("err", e))

@@ -95,18 +95,29 @@ class ClassAwareSampler:
 
 
 class ShuffleSampler:
-    """Plain per-epoch shuffled sharded sampler (DistributedSampler parity)."""
+    """Plain per-epoch shuffled sharded sampler (DistributedSampler parity).
+
+    ``pad_to_equal`` wraps indices around so every shard gets the same
+    count (torch DistributedSampler's padding) — required for multihost
+    eval where every process must run the same number of batches (the
+    per-batch cross-host allgather deadlocks otherwise). Duplicated eval
+    images are deduplicated downstream by image_id.
+    """
 
     def __init__(self, n: int, shard_id: int = 0, num_shards: int = 1, seed: int = 0,
-                 shuffle: bool = True):
+                 shuffle: bool = True, pad_to_equal: bool = False):
         self.n = n
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.seed = seed
         self.shuffle = shuffle
+        self.pad_to_equal = pad_to_equal
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(self.n)
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.pad_to_equal and self.n % self.num_shards:
+            pad = self.num_shards - self.n % self.num_shards
+            idx = np.concatenate([idx, idx[:pad]])
         return idx[self.shard_id :: self.num_shards]

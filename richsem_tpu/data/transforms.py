@@ -269,4 +269,7 @@ def make_eval_transform(scales: Sequence[int], max_size: int) -> Callable[[Recor
     def tf(r: Record) -> Record:
         return normalize(resize(r, size, max_size))
 
+    # deterministic: post-transform size is predictable from metadata — lets
+    # the loader plan bucket-grouped batch counts without decoding images
+    tf.size_hint = lambda h, w: _target_hw(h, w, size, max_size)
     return tf

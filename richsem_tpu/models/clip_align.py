@@ -87,39 +87,75 @@ def clip_teacher_box_targets(
     sizes: jnp.ndarray,  # [B,2] valid (h, w) in the canvas
     text_embed: jnp.ndarray,  # [C, D]
     logit_scale: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,  # [B,G] bool
+    max_boxes: Optional[int] = None,
 ):
     """→ (clip_embed [B,G,D] normalized, clip_logits [B,G,C]), stop-gradded.
 
     Boxes are denormalized by the image's *valid* size (the reference scales
     by ``t['size']``, richsem.py:744-768) into canvas pixel coords; the crop
     scale 1/32 matches the RN50 spatial map.
+
+    When ``valid``/``max_boxes`` are given, the RoI+attnpool only runs on the
+    first ``max_boxes`` *valid* slots (compacted to the front); outputs are
+    scattered back to the full [B, G] layout with zeros in the untouched
+    slots. The reference crops only the real boxes per image
+    (richsem.py:744-768); with padded static targets (G=300 vs ~12 real LVIS
+    GTs) the uncompacted path wastes ~25× of the teacher RoI compute.
     """
     images_clip = denorm_imagenet_to_clip(images)
     spatial = clip_model.apply(
         clip_params, images_clip, True, method=CLIP.encode_image
     )  # [B, H/32, W/32, 2048]
+    b, g = gt_boxes.shape[:2]
+    k = g if (valid is None or max_boxes is None) else min(int(max_boxes), g)
+    sel = None
+    boxes_k, valid_k = gt_boxes, valid
+    if k < g:
+        # stable partition: valid slots first, then take the first k
+        order = jnp.argsort(~valid, axis=1, stable=True)  # [B, G]
+        sel = order[:, :k]
+        boxes_k = jnp.take_along_axis(gt_boxes, sel[..., None], axis=1)
+        valid_k = jnp.take_along_axis(valid, sel, axis=1)
     h, w = sizes[:, 0], sizes[:, 1]
     scale = jnp.stack([w, h, w, h], -1).astype(jnp.float32)[:, None, :]
-    boxes_xyxy = box_cxcywh_to_xyxy(gt_boxes.astype(jnp.float32)) * scale
+    boxes_xyxy = box_cxcywh_to_xyxy(boxes_k.astype(jnp.float32)) * scale
     # crop to the teacher's positional grid (224/32 = 7 for RN50) so the
     # attnpool positional table applies directly (richsem.py:865-879)
     grid = clip_model.cfg.image_resolution // 32
     crops = roi_align(
         spatial.astype(jnp.float32), boxes_xyxy, output_size=grid,
         spatial_scale=1.0 / 32.0,
-    )  # [B, G, grid, grid, 2048]
-    b, g = crops.shape[:2]
+    )  # [B, K, grid, grid, 2048]
     pooled = clip_model.apply(
         clip_params,
-        crops.reshape(b * g, grid, grid, crops.shape[-1]),
+        crops.reshape(b * k, grid, grid, crops.shape[-1]),
         method=CLIP.attnpool,
-    ).reshape(b, g, -1)
+    ).reshape(b, k, -1)
     from richsem_tpu.utils.misc import l2_normalize
 
     pooled = l2_normalize(pooled)
     t = l2_normalize(text_embed.astype(jnp.float32))
     logits = jnp.exp(logit_scale) * (pooled @ t.T)
-    return jax.lax.stop_gradient(pooled), jax.lax.stop_gradient(logits)
+    if valid_k is not None:
+        pooled = pooled * valid_k[..., None]
+        logits = logits * valid_k[..., None]
+    clip_valid = jnp.ones((b, g), bool) if valid is None else valid
+    if sel is not None:
+        bidx = jnp.arange(b)[:, None]
+        pooled = jnp.zeros((b, g, pooled.shape[-1]), pooled.dtype).at[
+            bidx, sel
+        ].set(pooled)
+        logits = jnp.zeros((b, g, logits.shape[-1]), logits.dtype).at[
+            bidx, sel
+        ].set(logits)
+        # which full-layout slots actually received a teacher target
+        clip_valid = jnp.zeros((b, g), bool).at[bidx, sel].set(valid_k)
+    return (
+        jax.lax.stop_gradient(pooled),
+        jax.lax.stop_gradient(logits),
+        clip_valid,
+    )
 
 
 def clip_pseudo_labels(

@@ -297,7 +297,8 @@ def set_criterion(
         if include_distill and distill_type == "clip_logits":
             if clip_distill_objective == "gt":
                 d["loss_distill"] = distill_loss_kl(
-                    out_set["pred_clip_logits"], col, gt_valid,
+                    out_set["pred_clip_logits"], col,
+                    targets.get("clip_valid", gt_valid),
                     targets["clip_logits"], nb, use_dynamic_distill_weight,
                     kd_fids,
                 )
@@ -310,7 +311,8 @@ def set_criterion(
                 )
         elif include_distill and distill_type == "clip_l1":
             d["loss_distill"] = distill_loss_l1(
-                out_set["pred_clip_embed"], col, gt_valid,
+                out_set["pred_clip_embed"], col,
+                targets.get("clip_valid", gt_valid),
                 targets["clip_embed"], nb,
             )
         return d
@@ -355,7 +357,8 @@ def set_criterion(
         )
         if has_distill and distill_type == "clip_logits" and "pred_clip_logits" in dn_out:
             d["loss_distill"] = distill_loss_kl(
-                dn_out["pred_clip_logits"], dn_col, dn_targets_valid,
+                dn_out["pred_clip_logits"], dn_col,
+                dn_meta.get("pos_clip_valid", dn_targets_valid),
                 dn_meta["pos_clip_logits"], dn_nb, use_dynamic_distill_weight,
             )
         losses.update({f"{k}_dn": v for k, v in d.items()})
@@ -400,6 +403,7 @@ def expand_dn_targets(
     gt_labels: Array, gt_boxes: Array, gt_valid: Array,
     dn_meta: Dict[str, Array], dn_pad: int,
     gt_clip_logits: Optional[Array] = None,
+    gt_clip_valid: Optional[Array] = None,
 ) -> Dict[str, Array]:
     """Replicate gt targets across DN groups as fixed-width rows.
 
@@ -429,6 +433,12 @@ def expand_dn_targets(
         out["pos_clip_logits"] = jnp.take_along_axis(
             gt_clip_logits, safe[..., None], axis=1
         )
+        if gt_clip_valid is not None:
+            # teacher-target coverage may be narrower than GT validity when
+            # the RoI pass is compacted (clip_align.clip_teacher_box_targets)
+            out["pos_clip_valid"] = out["pos_valid"] & jnp.take_along_axis(
+                gt_clip_valid, safe, axis=1
+            )
     return out
 
 

@@ -79,12 +79,15 @@ def make_train_step(model, cfg, tx, clip_model=None):
                 clip_teacher_box_targets,
             )
 
-            clip_embed, clip_logits = clip_teacher_box_targets(
+            clip_embed, clip_logits, clip_valid = clip_teacher_box_targets(
                 clip_model, clip_params, batch["images"], batch["boxes"],
                 batch["size"].astype(jnp.float32), text_embed,
                 clip_params["params"]["logit_scale"],
+                valid=batch["valid"],
+                max_boxes=getattr(cfg, "distill_max_boxes", 100),
             )
-            batch = dict(batch, clip_logits=clip_logits, clip_embed=clip_embed)
+            batch = dict(batch, clip_logits=clip_logits,
+                         clip_embed=clip_embed, clip_valid=clip_valid)
             if cfg.use_imagenet_pusedo_labels and "is_extra" in batch:
                 # teacher-rescored weak labels for extra data
                 # (richsem.py:631-670)
@@ -118,7 +121,7 @@ def make_train_step(model, cfg, tx, clip_model=None):
         if use_teacher and cfg.clip_distill_objective in ("pred", "pred_all"):
             # teacher rescoring of the *predicted* boxes
             # (set_distill_outputs pred path, richsem.py:492-519)
-            _, pred_tgt_logits = clip_teacher_box_targets(
+            _, pred_tgt_logits, _ = clip_teacher_box_targets(
                 clip_model, clip_params, batch["images"],
                 jax.lax.stop_gradient(outputs["pred_boxes"]),
                 batch["size"].astype(jnp.float32), text_embed,
@@ -136,11 +139,14 @@ def make_train_step(model, cfg, tx, clip_model=None):
             targets["clip_logits"] = batch["clip_logits"]
         if "clip_embed" in batch:
             targets["clip_embed"] = batch["clip_embed"]
+        if "clip_valid" in batch:
+            targets["clip_valid"] = batch["clip_valid"]
         if dn_meta is not None:
             dn_meta = expand_dn_targets(
                 batch["labels"], batch["boxes"], batch["valid"], dn_meta,
                 2 * cfg.dn_number,
                 gt_clip_logits=batch.get("clip_logits"),
+                gt_clip_valid=batch.get("clip_valid"),
             )
         losses = set_criterion(
             outputs, targets, rng_crit,

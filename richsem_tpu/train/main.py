@@ -35,7 +35,12 @@ from richsem_tpu.data.samplers import (
 )
 from richsem_tpu.models import registry
 import richsem_tpu.models.build  # noqa: F401 - registers 'richsem'
-from richsem_tpu.parallel.mesh import init_distributed, make_mesh
+from richsem_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicated,
+)
 from richsem_tpu.train.engine import (
     create_train_state,
     make_eval_step,
@@ -46,34 +51,52 @@ from richsem_tpu.utils.checkpoint import BestMetricHolder, CheckpointManager
 from richsem_tpu.utils.logging import MetricLogger, setup_logger
 
 
+# CLI defaults, applied only when neither the config file nor the command
+# line provides the key — an explicitly passed flag beats the config file,
+# but an *unset* default must not clobber config/--options values
+# (the reference avoids this by hard-erroring on collisions, main.py:150-156).
+_CLI_DEFAULTS = dict(
+    dataset_file="lvis", data_root="DATASET", output_dir="", resume="",
+    pretrain_model_path="", finetune_ignore=None, eval=False, test=False,
+    debug=False, seed=42, start_epoch=0, note="",
+)
+
+
 def get_args_parser() -> argparse.ArgumentParser:
-    """CLI surface parity with main.py:74-125."""
+    """CLI surface parity with main.py:74-125.
+
+    Every optional argument defaults to ``argparse.SUPPRESS`` so that
+    :func:`load_config` can distinguish explicitly passed flags from
+    defaults (see ``_CLI_DEFAULTS``)."""
+    S = argparse.SUPPRESS
     p = argparse.ArgumentParser("RichSem-TPU", add_help=False)
     p.add_argument("--config_file", "-c", type=str, required=True)
-    p.add_argument("--options", nargs="+", help="override k=v pairs")
-    p.add_argument("--dataset_file", type=str, default="lvis")
-    p.add_argument("--data_root", type=str, default="DATASET")
-    p.add_argument("--output_dir", type=str, default="")
-    p.add_argument("--resume", type=str, default="")
-    p.add_argument("--pretrain_model_path", type=str, default="")
-    p.add_argument("--finetune_ignore", type=str, nargs="+")
-    p.add_argument("--eval", action="store_true")
-    p.add_argument("--test", action="store_true")
-    p.add_argument("--debug", action="store_true")
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--start_epoch", type=int, default=0)
-    p.add_argument("--note", type=str, default="")
+    p.add_argument("--options", nargs="+", default=S, help="override k=v pairs")
+    p.add_argument("--dataset_file", type=str, default=S)
+    p.add_argument("--data_root", type=str, default=S)
+    p.add_argument("--output_dir", type=str, default=S)
+    p.add_argument("--resume", type=str, default=S)
+    p.add_argument("--pretrain_model_path", type=str, default=S)
+    p.add_argument("--finetune_ignore", type=str, nargs="+", default=S)
+    p.add_argument("--eval", action="store_true", default=S)
+    p.add_argument("--test", action="store_true", default=S)
+    p.add_argument("--debug", action="store_true", default=S)
+    p.add_argument("--seed", type=int, default=S)
+    p.add_argument("--start_epoch", type=int, default=S)
+    p.add_argument("--note", type=str, default=S)
     return p
 
 
 def load_config(args) -> Config:
+    provided = dict(vars(args))
+    options = provided.pop("options", None)
+    provided.pop("config_file", None)
     cfg = Config.fromfile(args.config_file)
-    cfg.merge_from_dict(parse_override_options(args.options))
-    # CLI args fill the config namespace; collisions resolve toward CLI
-    # (the reference hard-errors on collisions, main.py:150-156; we let the
-    # CLI win for the runtime-only keys it owns)
-    for k, v in vars(args).items():
-        if k not in ("options", "config_file"):
+    for k, v in provided.items():  # explicitly passed CLI flags
+        cfg[k] = v
+    cfg.merge_from_dict(parse_override_options(options))  # --options wins
+    for k, v in _CLI_DEFAULTS.items():
+        if k not in cfg:
             cfg[k] = v
     return cfg
 
@@ -118,29 +141,79 @@ def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
         train_loader = MultiDatasetLoader(
             train_loader, extra_loader, cfg.main_weight, cfg.sub_weight
         )
-    eval_canvas = [tuple(cfg.eval_canvas)]
+    # Eval resize is shortest-side 800 @ max 1333 in either orientation
+    # (datasets/coco.py:689-692) — cover both orientations of the eval
+    # canvas (plus any train bucket) so no val image misses a bucket.
+    ch, cw = tuple(cfg.eval_canvas)
+    eval_canvas = sorted({(ch, cw), (cw, ch)})
     val_loader = DataLoader(
         val_ds,
-        ShuffleSampler(len(val_ds), shard_id, num_shards, 0, shuffle=False),
+        ShuffleSampler(len(val_ds), shard_id, num_shards, 0, shuffle=False,
+                       pad_to_equal=num_shards > 1),
         max(global_batch // num_shards, 1), eval_canvas, max_gt,
-        drop_last=False,
+        drop_last=False, pad_last=True,
     )
     return train_loader, val_loader, train_ds, val_ds
 
 
-def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=None):
+def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=None,
+             place_batch=None):
     """Eval loop + AP summary (engine.py:149-330 equivalent)."""
     from richsem_tpu.data.evaluation import LvisEvaluator, CocoEvaluator
 
     eval_step = make_eval_step(model, cfg)
+    if jax.process_count() > 1:
+        # per-process eval on local devices: canvas buckets differ between
+        # processes in the same round, so inputs cannot form one global
+        # array — only the fixed-shape predictions are gathered (the
+        # reference also evaluates per-rank and gathers predictions,
+        # engine.py:301-326)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        lmesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        lshard = NamedSharding(lmesh, PartitionSpec("data"))
+        place_batch = lambda b: {  # noqa: E731
+            k: jax.device_put(np.asarray(v), lshard) for k, v in b.items()
+        }
+    else:
+        place_batch = place_batch or _to_device
     if cfg.dataset_file.startswith("lvis"):
         evaluator = LvisEvaluator(val_ds.index, max_dets=cfg.num_select)
     else:
         evaluator = CocoEvaluator(val_ds.index, max_dets=cfg.num_select)
     multihost = jax.process_count() > 1
+    pad_rounds = 0
+    if multihost:
+        # bucket-grouped batching gives each process a shard-dependent batch
+        # count; every process must run the same number of allgather rounds
+        # (the reference's pickle-all_gather has the same constraint,
+        # lvis_eval.py:118-123). The eval transform is deterministic, so the
+        # count is computable from metadata; processes below the max re-run
+        # their last batch (duplicates dedup by image_id).
+        from jax.experimental import multihost_utils
+
+        local_nb = val_loader.num_batches_hint(0)
+        if local_nb is None:
+            raise RuntimeError(
+                "multihost eval requires a deterministic eval transform "
+                "with predictable sizes (dataset.size_hint)"
+            )
+        counts = np.asarray(
+            multihost_utils.process_allgather(jnp.asarray([local_nb]))
+        ).reshape(-1)
+        pad_rounds = int(counts.max()) - local_nb
+
+    def _rounds():
+        last = None
+        for b in val_loader.epoch(0):
+            last = b
+            yield b
+        for _ in range(pad_rounds):
+            yield last
+
     n = 0
-    for batch in val_loader.epoch(0):
-        results = eval_step(params, _to_device(batch), text_embed)
+    for batch in _rounds():
+        results = eval_step(params, place_batch(batch), text_embed)
         if multihost:
             # each process evaluates a shard; gather fixed-shape prediction
             # arrays host-side (the reference's pickle-all_gather eval merge,
@@ -177,6 +250,22 @@ def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=Non
 
 def _to_device(batch: Dict[str, np.ndarray]):
     return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def make_batch_placer(mesh):
+    """Per-host batch dict → global arrays sharded over the mesh 'data'
+    axis — the DDP-equivalent placement (reference: DistributedSampler +
+    DDP, main.py:204-206). Works single- and multi-host: each process
+    contributes its local shard of the global batch."""
+    bs = batch_sharding(mesh)
+
+    def place(batch):
+        return {
+            k: jax.make_array_from_process_local_data(bs, np.asarray(v))
+            for k, v in batch.items()
+        }
+
+    return place
 
 
 def test_submission(cfg, model, params, val_loader, text_embed=None):
@@ -217,6 +306,9 @@ def train_loop(cfg) -> Dict:
         )
 
     mesh = make_mesh(**{k: v for k, v in cfg.mesh_shape.items()})
+    place_batch = make_batch_placer(mesh)
+    rep = replicated(mesh)
+    logger.info(f"mesh: {mesh.shape} · batch sharding {batch_sharding(mesh).spec}")
     model, weight_dict, _ = registry.MODEL_REGISTRY["richsem"](cfg)
 
     train_loader, val_loader, train_ds, val_ds = build_loaders(
@@ -266,6 +358,8 @@ def train_loop(cfg) -> Dict:
         text_embed = build_text_embedding(
             clip_model, clip_params, cats, tokenizer
         )
+        text_embed = jax.device_put(text_embed, rep)
+        clip_params = jax.device_put(clip_params, rep)
 
     fed_weight = None
     if cfg.use_fed_loss:
@@ -275,7 +369,7 @@ def train_loop(cfg) -> Dict:
             train_ds.index, cfg.num_classes,
             {c: c for c in train_ds.index.cats},
         )
-        fed_weight = jnp.asarray(counts) ** 0.5
+        fed_weight = jax.device_put(jnp.asarray(counts) ** 0.5, rep)
 
     tx = build_optimizer(params, cfg, steps_per_epoch)
     state = create_train_state(params, tx, use_ema=cfg.use_ema)
@@ -299,6 +393,10 @@ def train_loop(cfg) -> Dict:
         start_epoch = int(step) // steps_per_epoch
         src.close()
 
+    # DDP-equivalent placement: params/opt state replicated on every device,
+    # batches sharded over the mesh 'data' axis (reference main.py:204-206)
+    state = jax.device_put(state, rep)
+
     if cfg.test:
         res = test_submission(cfg, model, state.params, val_loader, text_embed)
         out_path = os.path.join(cfg.output_dir or ".", "results.json")
@@ -309,7 +407,8 @@ def train_loop(cfg) -> Dict:
 
     if cfg.eval:
         stats = evaluate(cfg, model, state.params,
-                         val_loader, val_ds, text_embed, logger)
+                         val_loader, val_ds, text_embed, logger,
+                         place_batch=place_batch)
         return {"eval": stats}
 
     best = BestMetricHolder(use_ema=cfg.use_ema)
@@ -325,25 +424,37 @@ def train_loop(cfg) -> Dict:
             )
         mlog = MetricLogger(logger=logger)
         t0 = time.time()
-        for it, batch in enumerate(
-            mlog.log_every(train_loader.epoch(epoch), 50,
-                           header=f"Epoch [{epoch}]", total=steps_per_epoch)
-        ):
-            rng, step_rng = jax.random.split(rng)
-            dev_batch = _to_device(batch)
-            if fed_weight is not None:
-                dev_batch["fed_weight"] = fed_weight
-            state, metrics = train_step(
-                state, dev_batch, step_rng, text_embed, clip_params
-            )
-            if it % 50 == 0:
-                m = jax.device_get(metrics)
-                if not bool(m["finite"]):
-                    logger.error(f"non-finite loss at epoch {epoch} it {it}: {m}")
+        # Per-step NaN abort, delayed by exactly one step so the device read
+        # never blocks the in-flight step (reference aborts on the step the
+        # NaN appears, engine.py:93-96; here at most ONE poisoned update can
+        # land before the abort — vs 49 with a 50-step cadence).
+        prev_finite = None
+        prev_it = -1
+        with jax.set_mesh(mesh):
+            for it, batch in enumerate(
+                mlog.log_every(train_loader.epoch(epoch), 50,
+                               header=f"Epoch [{epoch}]", total=steps_per_epoch)
+            ):
+                rng, step_rng = jax.random.split(rng)
+                dev_batch = place_batch(batch)
+                if fed_weight is not None:
+                    dev_batch["fed_weight"] = fed_weight
+                state, metrics = train_step(
+                    state, dev_batch, step_rng, text_embed, clip_params
+                )
+                if prev_finite is not None and not bool(prev_finite):
+                    logger.error(f"non-finite loss at epoch {epoch} it {prev_it}")
                     raise FloatingPointError("loss is not finite")
-                mlog.update(**{k: float(v) for k, v in m.items() if k != "finite"})
-            if cfg.debug and it >= 15:
-                break
+                prev_finite, prev_it = metrics["finite"], it
+                if it % 50 == 0:
+                    m = jax.device_get(metrics)
+                    mlog.update(**{k: float(v) for k, v in m.items()
+                                   if k != "finite"})
+                if cfg.debug and it >= 15:
+                    break
+        if prev_finite is not None and not bool(prev_finite):
+            logger.error(f"non-finite loss at epoch {epoch} it {prev_it}")
+            raise FloatingPointError("loss is not finite")
         epoch_stats = {k: v.global_avg for k, v in mlog.meters.items()}
 
         if ckpt and ((epoch + 1) % cfg.save_checkpoint_interval == 0
@@ -352,7 +463,8 @@ def train_loop(cfg) -> Dict:
 
         if (epoch + 1) % cfg.eval_interval == 0:
             stats = evaluate(cfg, model, state.params,
-                             val_loader, val_ds, text_embed, logger)
+                             val_loader, val_ds, text_embed, logger,
+                             place_batch=place_batch)
             ap = stats.get("AP", float("nan"))
             if best.update(ap, epoch) and ckpt:
                 ckpt.save(int(state.step), state, metrics={"AP": ap})
@@ -360,6 +472,7 @@ def train_loop(cfg) -> Dict:
                 ema_stats = evaluate(
                     cfg, model, state.ema_params,
                     val_loader, val_ds, text_embed, logger,
+                    place_batch=place_batch,
                 )
                 best.update(ema_stats.get("AP", float("nan")), epoch, is_ema=True)
                 epoch_stats.update({f"ema_{k}": v for k, v in ema_stats.items()})

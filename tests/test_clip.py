@@ -293,10 +293,50 @@ def test_clip_teacher_box_targets(clip_and_params):
     boxes = jnp.asarray(np.full((2, 3, 4), 0.4, np.float32))
     sizes = jnp.asarray([[64, 64], [48, 60]], jnp.float32)
     text = jnp.asarray(np.random.default_rng(1).normal(size=(5, 16)), jnp.float32)
-    emb, logits = clip_teacher_box_targets(
+    emb, logits, cvalid = clip_teacher_box_targets(
         model, params, images, boxes, sizes, text, jnp.float32(2.0)
     )
     assert emb.shape == (2, 3, 16) and logits.shape == (2, 3, 5)
+    assert np.asarray(cvalid).all()
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(emb), axis=-1), 1.0, atol=1e-4
     )
+
+
+def test_clip_teacher_box_targets_compacted(clip_and_params):
+    """Compaction (valid + max_boxes) matches the full path on the slots it
+    keeps: same logits at kept valid slots, zeros + clip_valid=False at
+    truncated/invalid slots."""
+    from richsem_tpu.models.clip_align import clip_teacher_box_targets
+
+    model, params = clip_and_params
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    g = 6
+    boxes = jnp.asarray(
+        np.clip(rng.uniform(0.25, 0.6, (2, g, 4)), 0.1, 0.8), jnp.float32
+    )
+    sizes = jnp.asarray([[64, 64], [48, 60]], jnp.float32)
+    text = jnp.asarray(rng.normal(size=(5, 16)), jnp.float32)
+    valid = jnp.asarray(
+        [[True, False, True, True, False, False],
+         [True, True, True, True, True, False]]
+    )
+    full_emb, full_logits, _ = clip_teacher_box_targets(
+        model, params, images, boxes, sizes, text, jnp.float32(2.0)
+    )
+    emb, logits, cvalid = clip_teacher_box_targets(
+        model, params, images, boxes, sizes, text, jnp.float32(2.0),
+        valid=valid, max_boxes=4,
+    )
+    cvalid = np.asarray(cvalid)
+    # image 0 has 3 valid ≤ 4 → all its valid slots covered;
+    # image 1 has 5 valid > 4 → exactly 4 covered
+    assert cvalid.sum(1).tolist() == [3, 4]
+    assert not cvalid[~np.asarray(valid)].any()
+    np.testing.assert_allclose(
+        np.asarray(logits)[cvalid], np.asarray(full_logits)[cvalid],
+        rtol=1e-4, atol=1e-4,
+    )
+    assert (np.asarray(logits)[~cvalid] == 0).all()
+    assert (np.asarray(emb)[~cvalid] == 0).all()

@@ -54,12 +54,37 @@ def _make_synthetic_lvis(root: str, n: int = 8):
 
 
 @pytest.mark.slow
-def test_train_eval_resume(tmp_path):
+def test_train_eval_resume(tmp_path, monkeypatch):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+
     from __graft_entry__ import _tiny_cfg_dict
+    import richsem_tpu.train.main as main_mod
     from richsem_tpu.train.main import train_loop
+
+    # spy on the batch placer: every train/eval batch must be sharded over
+    # the mesh 'data' axis, one shard per device (DDP-equivalent layout)
+    placed_specs = []
+    real_placer_factory = main_mod.make_batch_placer
+
+    def spying_factory(mesh):
+        place = real_placer_factory(mesh)
+
+        def spy(batch):
+            out = place(batch)
+            img = out["images"]
+            placed_specs.append(img.sharding.spec)
+            assert img.sharding.spec[0] == "data"
+            assert len(img.addressable_shards) == jax.device_count()
+            per_dev = img.addressable_shards[0].data.shape[0]
+            assert per_dev == img.shape[0] // jax.device_count()
+            return out
+
+        return spy
+
+    monkeypatch.setattr(main_mod, "make_batch_placer", spying_factory)
 
     root = str(tmp_path / "data")
     _make_synthetic_lvis(root, n=16)
@@ -82,6 +107,7 @@ def test_train_eval_resume(tmp_path):
     )
     out = train_loop(cfg)
     assert "best" in out
+    assert placed_specs, "train_loop never placed a batch on the mesh"
     # checkpoint written
     assert (tmp_path / "out" / "ckpt").exists()
     # log line written with train + eval stats

@@ -91,7 +91,7 @@ def test_distill_grads_reach_clip_proj(setup):
     from richsem_tpu.models.criterion import set_criterion
 
     batch = _batch(np.random.default_rng(1))
-    emb, logits = clip_teacher_box_targets(
+    emb, logits, _ = clip_teacher_box_targets(
         clip_model, clip_params, batch["images"], batch["boxes"],
         batch["size"].astype(jnp.float32), text_embed,
         clip_params["params"]["logit_scale"],
