@@ -122,6 +122,10 @@ class DetectionEvaluator:
         scores, boxes = scores[pos], boxes[pos]
         order = np.argsort(-scores, kind="mergesort")
         scores, boxes = scores[order], boxes[order]
+        # pycocotools evaluateImg truncates to maxDets per image-category
+        # BEFORE matching (maxDets=100 COCO / 300 LVIS); AR@k then re-caps
+        # the matched lists post-hoc in _accumulate (accumulate semantics)
+        scores, boxes = scores[: self.max_dets], boxes[: self.max_dets]
 
         info = self._img_info.get(img_id, {})
         if self.mode == "lvis":

@@ -79,6 +79,16 @@ def build_text_embedding(
     return jnp.asarray(acc / len(templates))
 
 
+def clip_spatial_features(clip_model: CLIP, clip_params, images: jnp.ndarray):
+    """One frozen-teacher forward over the (CLIP-renormalized) padded image
+    → the stride-32 pre-attnpool spatial map (the reference's
+    ``self.clip_features``, richsem.py:614-629)."""
+    images_clip = denorm_imagenet_to_clip(images)
+    return clip_model.apply(
+        clip_params, images_clip, True, method=CLIP.encode_image
+    )  # [B, H/32, W/32, Dv]
+
+
 def clip_teacher_box_targets(
     clip_model: CLIP,
     clip_params,
@@ -89,6 +99,7 @@ def clip_teacher_box_targets(
     logit_scale: jnp.ndarray,
     valid: Optional[jnp.ndarray] = None,  # [B,G] bool
     max_boxes: Optional[int] = None,
+    spatial: Optional[jnp.ndarray] = None,  # precomputed clip_spatial_features
 ):
     """→ (clip_embed [B,G,D] normalized, clip_logits [B,G,C]), stop-gradded.
 
@@ -103,10 +114,8 @@ def clip_teacher_box_targets(
     (richsem.py:744-768); with padded static targets (G=300 vs ~12 real LVIS
     GTs) the uncompacted path wastes ~25× of the teacher RoI compute.
     """
-    images_clip = denorm_imagenet_to_clip(images)
-    spatial = clip_model.apply(
-        clip_params, images_clip, True, method=CLIP.encode_image
-    )  # [B, H/32, W/32, 2048]
+    if spatial is None:
+        spatial = clip_spatial_features(clip_model, clip_params, images)
     b, g = gt_boxes.shape[:2]
     k = g if (valid is None or max_boxes is None) else min(int(max_boxes), g)
     sel = None

@@ -44,10 +44,17 @@ def fed_loss_classes(
     num_classes: int,
     num_sample_cats: int,
     fed_weight: Optional[Array] = None,  # [C] image_count^0.5 (set_cats parity)
-) -> Array:
-    """→ ``[num_sample_cats]`` class ids: all appeared classes plus classes
-    sampled ∝ fed_weight without replacement (Gumbel top-k)."""
+):
+    """→ ``(ids [W], mask [W])``: ALL appeared classes plus classes sampled
+    ∝ fed_weight without replacement (Gumbel top-k) up to ``num_sample_cats``
+    total. The reference keeps every appeared class even when there are more
+    than ``num_sample_cats`` of them (fed_loss.py:15-26); the static-width
+    equivalent is a table wide enough for the worst case
+    (``W = min(C, max(num_sample_cats, N))``) with the unused tail masked
+    out — the *active* set size is ``max(num_sample_cats, n_appeared)``."""
+    n = int(matched_labels.size)
     num_sample_cats = min(num_sample_cats, num_classes)
+    width = min(num_classes, max(num_sample_cats, n))
     appeared = jnp.zeros((num_classes,), bool)
     appeared = appeared.at[jnp.clip(matched_labels, 0)].set(matched_labels >= 0)
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(rng, (num_classes,)) + 1e-20) + 1e-20)
@@ -55,8 +62,10 @@ def fed_loss_classes(
         fed_weight = jnp.ones((num_classes,), jnp.float32)
     score = jnp.log(jnp.clip(fed_weight, min=1e-20)) + gumbel
     score = jnp.where(appeared, 1e9, score)
-    _, ids = jax.lax.top_k(score, num_sample_cats)
-    return ids
+    _, ids = jax.lax.top_k(score, width)
+    keep = jnp.maximum(num_sample_cats, appeared.sum())
+    mask = jnp.arange(width) < keep
+    return ids, mask
 
 
 # ----------------------------------------------------------------------
@@ -85,7 +94,7 @@ def loss_labels(
     gt_valid: Array,  # [B, G]
     num_boxes: Array,
     focal_alpha: float = 0.25,
-    fed_ids: Optional[Array] = None,
+    fed_ids=None,  # (ids [W], mask [W]) from fed_loss_classes
     query_mask: Optional[Array] = None,  # [B, Q] queries to supervise
 ) -> Dict[str, Array]:
     b, q, c = pred_logits.shape
@@ -98,10 +107,14 @@ def loss_labels(
         jnp.where(gt_valid, 1.0, 0.0)
     )
     onehot = onehot[:, :q]
+    fed_mask = None
     if fed_ids is not None:
+        fed_ids, fed_mask = fed_ids
         logits = logits[..., fed_ids]
         onehot = onehot[..., fed_ids]
     focal = _sigmoid_focal(logits, onehot, focal_alpha, 2.0)
+    if fed_mask is not None:
+        focal = focal * fed_mask.astype(jnp.float32)
     if query_mask is not None:
         focal = focal * query_mask[..., None].astype(jnp.float32)
     # reference: mean over queries, sum, ×num_queries / num_boxes == full sum
@@ -144,6 +157,77 @@ def loss_boxes(
     return out
 
 
+# ----------------------------------------------------------------------
+# many-to-one (OptMatcher / simOTA) loss layout: per-query gt assignment
+# ----------------------------------------------------------------------
+def _gather_gt_per_query(gt_of_query: Array, gt_field: Array, gt_valid: Array):
+    """``gt_of_query [B,Q]`` (−1 background) × ``gt_field [B,G,...]`` →
+    (per-query field [B,Q,...], assigned-mask [B,Q])."""
+    safe = jnp.clip(gt_of_query, 0)
+    idx = safe.reshape(*safe.shape, *([1] * (gt_field.ndim - 2)))
+    sel = jnp.take_along_axis(gt_field, idx, axis=1)
+    assigned = (gt_of_query >= 0) & jnp.take_along_axis(gt_valid, safe, axis=1)
+    return sel, assigned
+
+
+def loss_labels_m2o(
+    pred_logits: Array,  # [B, Q, C]
+    gt_of_query: Array,  # [B, Q] gt index per query (−1 background)
+    gt_labels: Array,
+    gt_valid: Array,
+    num_boxes: Array,
+    focal_alpha: float = 0.25,
+    fed_ids=None,
+) -> Dict[str, Array]:
+    """Focal class loss under the OptMatcher many-to-one assignment
+    (reference: same loss_labels formula, richsem.py:938-965, fed by the
+    OptMatcher's (query, gt) index lists, matcher.py:161-315)."""
+    b, q, c = pred_logits.shape
+    logits = pred_logits.astype(jnp.float32)
+    lbl, assigned = _gather_gt_per_query(gt_of_query, gt_labels, gt_valid)
+    onehot = jax.nn.one_hot(jnp.clip(lbl, 0), c) * assigned[..., None]
+    fed_mask = None
+    if fed_ids is not None:
+        fed_ids, fed_mask = fed_ids
+        logits = logits[..., fed_ids]
+        onehot = onehot[..., fed_ids]
+    focal = _sigmoid_focal(logits, onehot, focal_alpha, 2.0)
+    if fed_mask is not None:
+        focal = focal * fed_mask.astype(jnp.float32)
+    loss_ce = focal.sum() / num_boxes
+    pred_cls = jnp.argmax(pred_logits, axis=-1)
+    ok = (pred_cls == lbl) & assigned
+    denom = jnp.maximum(assigned.sum(), 1)
+    class_error = 100.0 * (1.0 - ok.sum() / denom)
+    return {
+        "loss_ce": loss_ce,
+        "class_error": jax.lax.stop_gradient(class_error),
+    }
+
+
+def loss_boxes_m2o(
+    pred_boxes: Array,  # [B, Q, 4] cxcywh
+    gt_of_query: Array,
+    gt_boxes: Array,
+    gt_valid: Array,
+    num_boxes: Array,
+) -> Dict[str, Array]:
+    sel, assigned = _gather_gt_per_query(gt_of_query, gt_boxes, gt_valid)
+    m = assigned.astype(jnp.float32)
+    pb = pred_boxes.astype(jnp.float32)
+    l1 = jnp.abs(pb - sel.astype(jnp.float32))
+    giou = box_ops.generalized_box_iou_elementwise(
+        box_ops.box_cxcywh_to_xyxy(pb), box_ops.box_cxcywh_to_xyxy(sel)
+    )
+    out = {
+        "loss_bbox": (l1.sum(-1) * m).sum() / num_boxes,
+        "loss_giou": ((1.0 - giou) * m).sum() / num_boxes,
+    }
+    out["loss_xy"] = jax.lax.stop_gradient((l1[..., :2].sum(-1) * m).sum() / num_boxes)
+    out["loss_hw"] = jax.lax.stop_gradient((l1[..., 2:].sum(-1) * m).sum() / num_boxes)
+    return out
+
+
 def loss_cardinality(pred_logits: Array, gt_valid: Array) -> Array:
     # count queries whose argmax is not the last class (diagnostic parity,
     # richsem.py:1031-1043)
@@ -160,8 +244,12 @@ def _kl_terms(student_logits, teacher_logits, dynamic_weight, fed_ids=None):
     s = student_logits.astype(jnp.float32)
     t_logits = teacher_logits.astype(jnp.float32)
     if fed_ids is not None:
+        fed_ids, fed_mask = fed_ids
         s = s[..., fed_ids]
         t_logits = t_logits[..., fed_ids]
+        # masked tail slots must not enter the class softmax
+        s = jnp.where(fed_mask, s, -1e9)
+        t_logits = jnp.where(fed_mask, t_logits, -1e9)
     log_p = jax.nn.log_softmax(s, -1)
     t = jax.nn.softmax(t_logits, -1)
     kl = t * (jnp.log(jnp.clip(t, min=1e-20)) - log_p)
@@ -255,6 +343,8 @@ def set_criterion(
     use_dynamic_distill_weight: bool = False,
     dn_meta: Optional[Dict[str, Array]] = None,
     world_num_boxes: Optional[Array] = None,
+    enc_cls_agn: bool = False,
+    distill_aux_layers: bool = False,
 ) -> Dict[str, Array]:
     """→ unweighted loss dict with the reference's naming matrix
     (``loss_ce``, ``loss_bbox``, ``loss_giou``, ``*_dn``, ``*_0..k``,
@@ -267,7 +357,16 @@ def set_criterion(
         world_num_boxes = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
     num_boxes = world_num_boxes
 
+    many_to_one = matcher_type == "OptMatcher"
+
     def run_matcher(out_set):
+        if many_to_one:
+            from richsem_tpu.models.ota_matcher import ota_match
+
+            return ota_match(
+                out_set["pred_logits"], out_set["pred_boxes"],
+                gt_labels, gt_boxes, gt_valid, focal_alpha=focal_alpha,
+            )  # gt_of_query [B, Q]
         return match(
             out_set["pred_logits"], out_set["pred_boxes"],
             gt_labels, gt_boxes, gt_valid,
@@ -280,41 +379,87 @@ def set_criterion(
             return None
         labels = gt_labels if labels is None else labels
         valid = gt_valid if valid is None else valid
-        matched = jnp.where(valid & (col >= 0), labels, -1).reshape(-1)
+        if many_to_one and labels is gt_labels:
+            lbl, assigned = _gather_gt_per_query(col, gt_labels, gt_valid)
+            matched = jnp.where(assigned, lbl, -1).reshape(-1)
+        else:
+            matched = jnp.where(valid & (col >= 0), labels, -1).reshape(-1)
         return fed_loss_classes(
             rng_i, matched, num_classes, fed_num_sample_cats, fed_weight
         )
 
+    def _distill_kl_m2o(pred_clip_logits, gt_of_query, nb, kd_fids):
+        # OptMatcher layout of the 'gt' objective: each assigned query is
+        # distilled toward its gt's teacher logits (richsem.py:985-1000)
+        clip_valid = targets.get("clip_valid", gt_valid)
+        sel_t, assigned = _gather_gt_per_query(
+            gt_of_query, targets["clip_logits"], gt_valid & clip_valid
+        )
+        kl = _kl_terms(pred_clip_logits, sel_t, use_dynamic_distill_weight, kd_fids)
+        return (kl * assigned.astype(jnp.float32)).sum() / nb
+
     def one_set(out_set, rng_i, col, nb, include_distill=False):
         fids = fed_ids_for(rng_i, col)
-        d = loss_labels(
-            out_set["pred_logits"], col, gt_labels, gt_valid, nb,
-            focal_alpha, fids,
-        )
-        d.update(loss_boxes(out_set["pred_boxes"], col, gt_boxes, gt_valid, nb))
+        if many_to_one:
+            d = loss_labels_m2o(
+                out_set["pred_logits"], col, gt_labels, gt_valid, nb,
+                focal_alpha, fids,
+            )
+            d.update(
+                loss_boxes_m2o(out_set["pred_boxes"], col, gt_boxes, gt_valid, nb)
+            )
+        else:
+            d = loss_labels(
+                out_set["pred_logits"], col, gt_labels, gt_valid, nb,
+                focal_alpha, fids,
+            )
+            d.update(loss_boxes(out_set["pred_boxes"], col, gt_boxes, gt_valid, nb))
         d["cardinality_error"] = loss_cardinality(out_set["pred_logits"], gt_valid)
         kd_fids = fids if use_fed_on_kd else None
         if include_distill and distill_type == "clip_logits":
-            if clip_distill_objective == "gt":
+            if clip_distill_objective == "gt" and many_to_one:
+                d["loss_distill"] = _distill_kl_m2o(
+                    out_set["pred_clip_logits"], col, nb, kd_fids
+                )
+            elif clip_distill_objective == "gt":
                 d["loss_distill"] = distill_loss_kl(
                     out_set["pred_clip_logits"], col,
                     targets.get("clip_valid", gt_valid),
                     targets["clip_logits"], nb, use_dynamic_distill_weight,
                     kd_fids,
                 )
-            else:
+            elif clip_distill_objective == "pred_all" or not many_to_one:
                 d["loss_distill"] = distill_loss_kl_pred(
                     out_set["pred_clip_logits"],
                     outputs["teacher_clip_logits"], col, gt_valid, nb,
                     clip_distill_objective, use_dynamic_distill_weight,
                     kd_fids,
                 )
+            else:  # 'pred' under many-to-one: assigned queries vs teacher
+                _, assigned = _gather_gt_per_query(col, gt_boxes, gt_valid)
+                kl = _kl_terms(
+                    out_set["pred_clip_logits"],
+                    outputs["teacher_clip_logits"],
+                    use_dynamic_distill_weight, kd_fids,
+                )
+                d["loss_distill"] = (kl * assigned.astype(jnp.float32)).sum() / nb
         elif include_distill and distill_type == "clip_l1":
-            d["loss_distill"] = distill_loss_l1(
-                out_set["pred_clip_embed"], col,
-                targets.get("clip_valid", gt_valid),
-                targets["clip_embed"], nb,
-            )
+            if many_to_one:
+                from richsem_tpu.utils.misc import l2_normalize
+
+                clip_valid = targets.get("clip_valid", gt_valid)
+                sel_t, assigned = _gather_gt_per_query(
+                    col, targets["clip_embed"], gt_valid & clip_valid
+                )
+                sel_s = l2_normalize(out_set["pred_clip_embed"].astype(jnp.float32))
+                l1 = jnp.abs(sel_s - sel_t.astype(jnp.float32)).sum(-1)
+                d["loss_distill"] = (l1 * assigned.astype(jnp.float32)).sum() / nb
+            else:
+                d["loss_distill"] = distill_loss_l1(
+                    out_set["pred_clip_embed"], col,
+                    targets.get("clip_valid", gt_valid),
+                    targets["clip_embed"], nb,
+                )
         return d
 
     rngs = jax.random.split(rng, 16)
@@ -327,7 +472,7 @@ def set_criterion(
     # ---- final decoder layer ----------------------------------------
     col = run_matcher(outputs)
     losses.update(one_set(outputs, rngs[0], col, num_boxes, has_distill))
-    if "pred_masks" in outputs and "masks" in targets:
+    if "pred_masks" in outputs and "masks" in targets and not many_to_one:
         from richsem_tpu.models.segmentation import loss_masks as _loss_masks
 
         losses.update(
@@ -378,13 +523,57 @@ def set_criterion(
     # ---- aux decoder layers -----------------------------------------
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
         col = run_matcher(aux)
-        d = one_set(aux, rngs[8 + i], col, num_boxes)
+        aux_distill = (
+            has_distill and distill_aux_layers
+            and ("pred_clip_logits" in aux or "pred_clip_embed" in aux)
+        )
+        d = one_set(aux, rngs[8 + i], col, num_boxes, aux_distill)
         losses.update({f"{k}_{i}": v for k, v in d.items()})
 
     # ---- encoder (interm) outputs -----------------------------------
     if "interm_outputs" in outputs:
-        col = run_matcher(outputs["interm_outputs"])
-        d = one_set(outputs["interm_outputs"], rngs[14], col, num_boxes)
+        interm = outputs["interm_outputs"]
+        if enc_cls_agn:
+            # class-agnostic encoder supervision: all labels → class 0 for
+            # BOTH matching and the loss (richsem.py:1249-1254)
+            agn_labels = jnp.zeros_like(gt_labels)
+            if many_to_one:
+                from richsem_tpu.models.ota_matcher import ota_match
+
+                col = ota_match(
+                    interm["pred_logits"], interm["pred_boxes"],
+                    agn_labels, gt_boxes, gt_valid, focal_alpha=focal_alpha,
+                )
+                lbl, assigned = _gather_gt_per_query(col, agn_labels, gt_valid)
+                matched = jnp.where(assigned, lbl, -1)
+                _label_fn, _box_fn = loss_labels_m2o, loss_boxes_m2o
+            else:
+                col = match(
+                    interm["pred_logits"], interm["pred_boxes"],
+                    agn_labels, gt_boxes, gt_valid,
+                    cost_class, cost_bbox, cost_giou, focal_alpha,
+                    matcher_type=matcher_type,
+                )
+                matched = jnp.where(gt_valid & (col >= 0), agn_labels, -1)
+                _label_fn, _box_fn = loss_labels, loss_boxes
+            fids = None
+            if use_fed_loss:
+                fids = fed_loss_classes(
+                    rngs[15], matched.reshape(-1), num_classes,
+                    fed_num_sample_cats, fed_weight,
+                )
+            d = _label_fn(
+                interm["pred_logits"], col, agn_labels, gt_valid, num_boxes,
+                focal_alpha, fids,
+            )
+            d.update(_box_fn(interm["pred_boxes"], col, gt_boxes,
+                             gt_valid, num_boxes))
+            d["cardinality_error"] = loss_cardinality(
+                interm["pred_logits"], gt_valid
+            )
+        else:
+            col = run_matcher(interm)
+            d = one_set(interm, rngs[14], col, num_boxes)
         losses.update({f"{k}_interm": v for k, v in d.items()})
 
     return losses

@@ -90,6 +90,12 @@ class DINOConfig:
     use_cls_mlp_proj: bool = True
     use_mlp_proj: bool = False
     use_visual_distill: bool = False
+    # semantic-branch extras (richsem.py)
+    two_stage_cls: bool = False  # add detached clip-prob logits (richsem.py:727-731)
+    distill_aux_layers: bool = False  # distill every decoder layer (richsem.py:776-784)
+    use_clip_visual_query: bool = False  # content queries from CLIP RoIs (richsem.py:835-854)
+    share_vl_proj: bool = False  # one shared MLP for cls+distill proj (richsem.py:64-72)
+    enc_cls_agn: bool = False  # class-agnostic encoder head (richsem.py:408-410)
     # dn
     dn_labelbook_size: int = 1204
     dn_labelbook_reuse_cls: bool = True
@@ -107,6 +113,29 @@ class DINOConfig:
             "float32": jnp.float32,
             "bfloat16": jnp.bfloat16,
         }[getattr(cfg, "compute_dtype", "float32")]
+        # Declared-but-unsupported knobs must fail loudly, never silently
+        # no-op (rare variants the shipped reference configs never enable).
+        _unsupported = {
+            "num_patterns": lambda v: v not in (0, None),
+            "dec_layer_number": lambda v: v is not None,
+            "decoder_sa_type": lambda v: v not in ("sa", None),
+            "two_stage_keep_all_tokens": bool,
+            "two_stage_learn_wh": bool,
+            "two_stage_pat_embed": lambda v: v not in (0, None),
+            "two_stage_add_query_num": lambda v: v not in (0, None),
+            "random_refpoints_xy": bool,
+            "decoder_layer_noise": bool,
+        }
+        for key, is_set in _unsupported.items():
+            if key in cfg and is_set(cfg[key]):
+                raise NotImplementedError(
+                    f"config knob {key!r}={cfg[key]!r} is not implemented in "
+                    "richsem_tpu (rare reference variant; see PARITY.md)"
+                )
+        if getattr(cfg, "use_clip_visual_query", False) and not cfg.use_language:
+            raise NotImplementedError(
+                "use_clip_visual_query requires use_language=True"
+            )
         return cls(
             num_classes=cfg.num_classes,
             hidden_dim=cfg.hidden_dim,
@@ -129,6 +158,16 @@ class DINOConfig:
             use_cls_mlp_proj=cfg.use_cls_mlp_proj,
             use_mlp_proj=cfg.use_mlp_proj,
             use_visual_distill=cfg.use_visual_distill,
+            # the reference gates two_stage_cls on the distill branch
+            # (richsem.py:346)
+            two_stage_cls=bool(
+                getattr(cfg, "two_stage_cls", False)
+                and cfg.use_visual_distill
+            ),
+            distill_aux_layers=getattr(cfg, "distill_aux_layers", False),
+            use_clip_visual_query=getattr(cfg, "use_clip_visual_query", False),
+            share_vl_proj=getattr(cfg, "share_vl_proj", False),
+            enc_cls_agn=getattr(cfg, "enc_cls_agn", False),
             dn_labelbook_size=cfg.dn_labelbook_size,
             dn_labelbook_reuse_cls=cfg.dn_labelbook_reuse_cls,
             compute_dtype=compute_dtype,
@@ -158,7 +197,7 @@ class DeformableEncoderLayer(nn.Module):
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src + attn_out)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn_out)
         return FFN(
             d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
             activation=c.activation, compute_dtype=c.compute_dtype, name="ffn",
@@ -182,7 +221,7 @@ class DeformableDecoderLayer(nn.Module):
             dropout_rate=c.dropout, deterministic=deterministic,
             dtype=c.compute_dtype, name="self_attn",
         )(inputs_q=q, inputs_k=k, inputs_v=tgt, mask=self_attn_mask)
-        tgt = nn.LayerNorm(name="norm2")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + sa)
         # --- deformable cross attention ---
         ca = MSDeformAttn(
             d_model=c.hidden_dim, n_levels=c.num_feature_levels,
@@ -191,7 +230,7 @@ class DeformableDecoderLayer(nn.Module):
         )(tgt + query_pos, reference_points_input, memory, spatial_shapes,
           memory_pad_mask)
         ca = nn.Dropout(c.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + ca)
         # --- ffn ---
         return FFN(
             d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
@@ -211,6 +250,7 @@ class ClipAlignHead(nn.Module):
 
     cfg: DINOConfig
     use_mlp: bool = False
+    shared_proj: Optional[nn.Module] = None  # share_vl_proj (richsem.py:64-72)
 
     @nn.compact
     def __call__(self, hs: jnp.ndarray, text_embed: jnp.ndarray,
@@ -218,7 +258,9 @@ class ClipAlignHead(nn.Module):
         c = self.cfg
         ld = c.clip_embed_dim
         init = nn.initializers.normal(ld**-0.5)
-        if self.use_mlp:
+        if self.shared_proj is not None:
+            v = self.shared_proj(hs)
+        elif self.use_mlp:
             v = MLP(c.hidden_dim, ld, 4, last_kernel_init=init,
                     last_bias_init=nn.initializers.zeros,
                     name="dino_visual_proj")(hs)
@@ -294,10 +336,10 @@ class DINO(nn.Module):
         self.decoder_layers = [
             dec_cls(c, name=f"decoder_layer{i}") for i in range(c.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         # two-stage machinery
         self.enc_output = nn.Dense(c.hidden_dim, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")
         self.tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0),
             (c.num_queries, c.hidden_dim),
@@ -321,12 +363,32 @@ class DINO(nn.Module):
         )
         # shared decoder class head (dec_pred_class_embed_share=True);
         # separate encoder-output class head (two_stage_class_embed_share=False)
+        self.vl_proj = None
+        if c.share_vl_proj and (c.use_language or c.use_visual_distill):
+            # one 4-layer MLP serves as BOTH the classifier projection and
+            # the distill projection (richsem.py:64-72)
+            self.vl_proj = MLP(
+                c.hidden_dim, c.clip_embed_dim, 4,
+                last_kernel_init=nn.initializers.normal(c.clip_embed_dim**-0.5),
+                last_bias_init=nn.initializers.zeros,
+                name="vl_proj",
+            )
         if c.use_language:
             self.class_embed = ClipAlignHead(
                 c, use_mlp=c.use_cls_mlp_proj and c.use_mlp_proj,
-                name="class_embed")
-            self.enc_out_class_embed = ClipAlignHead(
-                c, use_mlp=False, name="enc_out_class_embed")
+                shared_proj=self.vl_proj, name="class_embed")
+            if c.enc_cls_agn:
+                # class-agnostic objectness: a plain linear head replaces the
+                # CLIP dot product for the encoder output (richsem.py:408-410)
+                self.enc_cls_kernel = self.param(
+                    "enc_cls_kernel", nn.initializers.lecun_normal(),
+                    (c.hidden_dim, c.num_classes))
+                self.enc_cls_bias = self.param(
+                    "enc_cls_bias", nn.initializers.constant(_CLS_BIAS),
+                    (c.num_classes,))
+            else:
+                self.enc_out_class_embed = ClipAlignHead(
+                    c, use_mlp=False, name="enc_out_class_embed")
         if c.use_language or c.use_visual_distill:
             # CLIP's temperature, frozen at its pretrained value via the
             # optimizer mask (richsem.py:92-95)
@@ -371,20 +433,32 @@ class DINO(nn.Module):
             self.mask_head = MaskHeadSmallConv(
                 c.hidden_dim, c.nheads, name="mask_head")
         if c.use_visual_distill:
-            init = nn.initializers.normal(c.clip_embed_dim**-0.5)
-            if c.use_mlp_proj:
-                self.clip_visual_proj = MLP(
-                    c.hidden_dim, c.clip_embed_dim, 4,
-                    last_kernel_init=init, name="clip_visual_proj")
+            if c.share_vl_proj:
+                self.clip_visual_proj = self.vl_proj
             else:
-                self.clip_visual_proj = nn.Dense(
-                    c.clip_embed_dim, use_bias=False, kernel_init=init,
-                    name="clip_visual_proj")
+                init = nn.initializers.normal(c.clip_embed_dim**-0.5)
+                if c.use_mlp_proj:
+                    self.clip_visual_proj = MLP(
+                        c.hidden_dim, c.clip_embed_dim, 4,
+                        last_kernel_init=init, name="clip_visual_proj")
+                else:
+                    self.clip_visual_proj = nn.Dense(
+                        c.clip_embed_dim, use_bias=False, kernel_init=init,
+                        name="clip_visual_proj")
+        if c.use_clip_visual_query:
+            # box2clip_query (richsem.py:835-854): decoder content queries
+            # become projected CLIP RoI features. The reference routes the
+            # 1×1 RoI crop through CLIPAlign.label_proj, which only
+            # dimension-checks for the ViT tower (the RN50 spatial map is
+            # 2048-d pre-attnpool vs label_proj's l_dim input); a dedicated
+            # input-dim-agnostic projection makes the knob live for both.
+            self.clip_query_proj = nn.Dense(
+                c.hidden_dim, use_bias=False, name="clip_query_proj")
 
     # ------------------------------------------------------------------
     def _class_logits(self, h, text_embed, enc: bool = False):
         c = self.cfg
-        if c.use_language:
+        if c.use_language and not (enc and c.enc_cls_agn):
             head = self.enc_out_class_embed if enc else self.class_embed
             return head(h, text_embed, self.logit_scale)
         k = self.enc_cls_kernel if enc else self.cls_kernel
@@ -423,14 +497,35 @@ class DINO(nn.Module):
         dn_boxes_unsig: Optional[jnp.ndarray] = None,  # [B, Ndn, 4]
         dn_attn_mask: Optional[jnp.ndarray] = None,  # [B, QT, QT] True=attend
         text_embed: Optional[jnp.ndarray] = None,  # [C, l_dim]
+        clip_features: Optional[jnp.ndarray] = None,  # [B, h32, w32, Dv]
         train: bool = False,
     ) -> Dict[str, Any]:
+        feats = self.backbone(images.astype(self.cfg.compute_dtype))
+        return self.detect(
+            feats, pad_mask, dn_labels=dn_labels,
+            dn_boxes_unsig=dn_boxes_unsig, dn_attn_mask=dn_attn_mask,
+            text_embed=text_embed, clip_features=clip_features, train=train,
+        )
+
+    def detect(
+        self,
+        feats: Sequence[jnp.ndarray],  # backbone maps [B, H/s, W/s, C_s]
+        pad_mask: jnp.ndarray,
+        dn_labels: Optional[jnp.ndarray] = None,
+        dn_boxes_unsig: Optional[jnp.ndarray] = None,
+        dn_attn_mask: Optional[jnp.ndarray] = None,
+        text_embed: Optional[jnp.ndarray] = None,
+        clip_features: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        """Detector head from backbone features — the reference's
+        input_proj → transformer → heads span (richsem.py:593-811). Split
+        out so parity tests can feed identical features to both stacks."""
         c = self.cfg
-        b = images.shape[0]
+        b = pad_mask.shape[0]
         deterministic = not train or c.dropout == 0.0
 
-        # ---- backbone + projections ----------------------------------
-        feats = self.backbone(images.astype(c.compute_dtype))
+        # ---- projections ----------------------------------------------
         srcs = [proj(f) for proj, f in zip(self.input_projs, feats)]
         for i in range(len(feats), c.num_feature_levels):
             srcs.append(self.input_projs[i](srcs[-1] if i > len(feats) else feats[-1]))
@@ -511,6 +606,27 @@ class DINO(nn.Module):
         if dn_attn_mask is not None:
             self_attn_mask = dn_attn_mask[:, None, :, :]  # [B, 1, QT, QT]
 
+        if c.use_clip_visual_query and clip_features is not None:
+            # box2clip_query (richsem.py:835-854, applied at
+            # deformable_transformer.py:425-426): content queries become
+            # projected 1×1 CLIP RoI features of the (DN + two-stage)
+            # reference boxes; `0·tgt` keeps the embed params reachable.
+            from richsem_tpu.ops.roi_align import roi_align
+            from richsem_tpu.utils.boxes import box_cxcywh_to_xyxy
+
+            q_boxes = jnp.clip(
+                box_cxcywh_to_xyxy(nn.sigmoid(refpoints_unsig)), 0.0, 1.0
+            )
+            gh, gw = clip_features.shape[1:3]
+            q_boxes = q_boxes * jnp.asarray(
+                [gw, gh, gw, gh], jnp.float32
+            )
+            rois = roi_align(
+                jax.lax.stop_gradient(clip_features).astype(jnp.float32),
+                q_boxes, output_size=1, spatial_scale=1.0,
+            )  # [B, QT, 1, 1, Dv]
+            tgt = self.clip_query_proj(rois[:, :, 0, 0, :]) + 0.0 * tgt
+
         # ---- decoder with iterative box refinement ----------------------
         ref = nn.sigmoid(refpoints_unsig)  # [B, QT, 4]
         references = [ref]
@@ -544,20 +660,47 @@ class DINO(nn.Module):
             all_coords.append(coord)
             all_logits.append(self._class_logits(h, text_embed))
 
+        clip_hs_layers: Dict[int, jnp.ndarray] = {}
+        clip_logits_layers: Dict[int, jnp.ndarray] = {}
         if c.use_visual_distill:
-            # project final-layer queries into CLIP space (richsem.py:719-725)
-            clip_hs = l2_normalize(
-                self.clip_visual_proj(hs_layers[-1]).astype(jnp.float32)
+            # project queries into CLIP space (richsem.py:719-725); all
+            # layers when two_stage_cls / distill_aux_layers need them
+            # (richsem.py:721 projects the full hs stack), else final only
+            need_all = (c.two_stage_cls and train) or c.distill_aux_layers
+            layer_ids = (
+                range(len(hs_layers)) if need_all else [len(hs_layers) - 1]
             )
-            out["pred_clip_embed"] = clip_hs[:, num_dn:]
+            for lid in layer_ids:
+                ch = l2_normalize(
+                    self.clip_visual_proj(hs_layers[lid]).astype(jnp.float32)
+                )
+                clip_hs_layers[lid] = ch
+                if text_embed is not None:
+                    t = l2_normalize(text_embed.astype(jnp.float32))
+                    clip_logits_layers[lid] = jnp.exp(self.logit_scale) * (
+                        ch @ t.T
+                    )
+            last = len(hs_layers) - 1
+            out["pred_clip_embed"] = clip_hs_layers[last][:, num_dn:]
             if num_dn:
-                out["dn_pred_clip_embed"] = clip_hs[:, :num_dn]
+                out["dn_pred_clip_embed"] = clip_hs_layers[last][:, :num_dn]
             if text_embed is not None:
-                t = l2_normalize(text_embed.astype(jnp.float32))
-                clip_logits = jnp.exp(self.logit_scale) * (clip_hs @ t.T)
-                out["pred_clip_logits"] = clip_logits[:, num_dn:]
+                out["pred_clip_logits"] = clip_logits_layers[last][:, num_dn:]
                 if num_dn:
-                    out["dn_pred_clip_logits"] = clip_logits[:, :num_dn]
+                    out["dn_pred_clip_logits"] = clip_logits_layers[last][:, :num_dn]
+
+        if c.two_stage_cls and train and clip_logits_layers:
+            # fuse detached CLIP class probabilities into every layer's
+            # logits, training only (richsem.py:727-731)
+            all_logits = [
+                l + inverse_sigmoid(
+                    jax.nn.softmax(jax.lax.stop_gradient(cl), axis=-1)
+                )
+                for l, cl in zip(
+                    all_logits,
+                    (clip_logits_layers[i] for i in range(len(all_logits))),
+                )
+            ]
 
         def split(x):
             return x[:, :num_dn], x[:, num_dn:]
@@ -571,6 +714,14 @@ class DINO(nn.Module):
             {"pred_logits": l, "pred_boxes": cd}
             for l, cd in zip(logits[:-1], coords[:-1])
         ]
+        if c.distill_aux_layers and clip_hs_layers:
+            # distill targets on every decoder layer (richsem.py:776-784);
+            # DN-aux distill is a zero placeholder in the reference
+            # (richsem.py:1240-1241) and is skipped here
+            for lid, aux in enumerate(out["aux_outputs"]):
+                aux["pred_clip_embed"] = clip_hs_layers[lid][:, num_dn:]
+                if lid in clip_logits_layers:
+                    aux["pred_clip_logits"] = clip_logits_layers[lid][:, num_dn:]
         if num_dn:
             out["dn_outputs"] = {
                 "pred_logits": dn_logits[-1],

@@ -175,7 +175,7 @@ class InputProj(nn.Module):
                 kernel_init=nn.initializers.xavier_uniform(),
                 name="conv",
             )(x)
-        return nn.GroupNorm(num_groups=32, name="norm")(x)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)
 
 
 class FFN(nn.Module):
@@ -195,4 +195,4 @@ class FFN(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.compute_dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)

@@ -70,21 +70,38 @@ def make_train_step(model, cfg, tx, clip_model=None):
     use_dn = cfg.use_dn and cfg.dn_number > 0
     distill_type = cfg.distill_type if cfg.use_visual_distill else ""
     use_teacher = cfg.use_visual_distill and clip_model is not None
+    use_clip_query = getattr(cfg, "use_clip_visual_query", False)
+    distill_aux = getattr(cfg, "distill_aux_layers", False)
+    if distill_aux and getattr(cfg, "clip_distill_objective", "gt") != "gt":
+        # per-aux-layer teacher RoI rescoring of predicted boxes is a 6×
+        # teacher-cost path the reference only exercises with 'gt'
+        raise NotImplementedError(
+            "distill_aux_layers requires clip_distill_objective='gt'"
+        )
 
     def loss_fn(params, batch, rng, text_embed, clip_params):
         rng_dn, rng_crit = jax.random.split(rng)
+        clip_spatial = None
         if use_teacher:
             from richsem_tpu.models.clip_align import (
                 clip_pseudo_labels,
+                clip_spatial_features,
                 clip_teacher_box_targets,
             )
 
+            # one teacher forward over the whole image per step; both the
+            # distill RoIs and (optionally) the clip-query path crop it
+            # (richsem.py:614-629 computes it once as self.clip_features)
+            clip_spatial = clip_spatial_features(
+                clip_model, clip_params, batch["images"]
+            )
             clip_embed, clip_logits, clip_valid = clip_teacher_box_targets(
                 clip_model, clip_params, batch["images"], batch["boxes"],
                 batch["size"].astype(jnp.float32), text_embed,
                 clip_params["params"]["logit_scale"],
                 valid=batch["valid"],
                 max_boxes=getattr(cfg, "distill_max_boxes", 100),
+                spatial=clip_spatial,
             )
             batch = dict(batch, clip_logits=clip_logits,
                          clip_embed=clip_embed, clip_valid=clip_valid)
@@ -116,7 +133,9 @@ def make_train_step(model, cfg, tx, clip_model=None):
             )
         outputs = model.apply(
             params, batch["images"], batch["pad_mask"],
-            text_embed=text_embed, train=True, **dn_args,
+            text_embed=text_embed, train=True,
+            clip_features=clip_spatial if use_clip_query else None,
+            **dn_args,
         )
         if use_teacher and cfg.clip_distill_objective in ("pred", "pred_all"):
             # teacher rescoring of the *predicted* boxes
@@ -126,6 +145,7 @@ def make_train_step(model, cfg, tx, clip_model=None):
                 jax.lax.stop_gradient(outputs["pred_boxes"]),
                 batch["size"].astype(jnp.float32), text_embed,
                 clip_params["params"]["logit_scale"],
+                spatial=clip_spatial,
             )
             outputs["teacher_clip_logits"] = pred_tgt_logits
         targets = {
@@ -164,6 +184,8 @@ def make_train_step(model, cfg, tx, clip_model=None):
             clip_distill_objective=getattr(cfg, "clip_distill_objective", "gt"),
             use_dynamic_distill_weight=cfg.use_dynamic_distill_weight,
             dn_meta=dn_meta,
+            enc_cls_agn=getattr(cfg, "enc_cls_agn", False),
+            distill_aux_layers=distill_aux,
         )
         # extra-data loss masking (engine.py:62-79): when the whole
         # (sub-loader) batch is weak-label data, selected loss families are

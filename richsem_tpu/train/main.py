@@ -180,7 +180,9 @@ def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=Non
     if cfg.dataset_file.startswith("lvis"):
         evaluator = LvisEvaluator(val_ds.index, max_dets=cfg.num_select)
     else:
-        evaluator = CocoEvaluator(val_ds.index, max_dets=cfg.num_select)
+        # COCO protocol fixes maxDets at 100 per image-category regardless
+        # of num_select (pycocotools default params, coco_eval.py)
+        evaluator = CocoEvaluator(val_ds.index, max_dets=100)
     multihost = jax.process_count() > 1
     pad_rounds = 0
     if multihost:

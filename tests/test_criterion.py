@@ -98,10 +98,63 @@ def test_loss_labels_focal_values():
 def test_fed_loss_classes():
     w = jnp.asarray(np.random.default_rng(0).uniform(1, 10, (C,)).astype(np.float32))
     matched = jnp.asarray([1, 4, 4, -1])
-    ids = np.asarray(fed_loss_classes(jax.random.PRNGKey(0), matched, C, 5, w))
-    assert len(ids) == 5
-    assert len(set(ids.tolist())) == 5  # no duplicates
-    assert 1 in ids and 4 in ids  # appeared classes forced in
+    ids, mask = fed_loss_classes(jax.random.PRNGKey(0), matched, C, 5, w)
+    ids, mask = np.asarray(ids), np.asarray(mask)
+    active = ids[mask]
+    assert len(active) == 5  # 2 appeared + 3 sampled = num_sample_cats
+    assert len(set(active.tolist())) == 5  # no duplicates
+    assert 1 in active and 4 in active  # appeared classes forced in
+
+
+def test_fed_loss_classes_overflow_keeps_all_appeared():
+    # more distinct appeared classes than num_sample_cats: the reference
+    # keeps every appeared class (fed_loss.py:15-26) — none may be dropped
+    appeared = np.arange(0, 14, 2)  # 7 distinct classes, num_sample_cats=5
+    matched = jnp.asarray(appeared)
+    ids, mask = fed_loss_classes(jax.random.PRNGKey(0), matched, 20, 5, None)
+    active = set(np.asarray(ids)[np.asarray(mask)].tolist())
+    assert set(appeared.tolist()) <= active
+    assert len(active) == 7  # exactly the appeared set (keep = max(5, 7))
+
+
+def test_set_criterion_opt_matcher_finite_and_invariants():
+    """matcher_type='OptMatcher' drives the many-to-one loss layout
+    (reference OptMatcher → SetCriterion, matcher.py:161-315)."""
+    rng_np = np.random.default_rng(7)
+    outputs = _toy_outputs(rng_np)
+    outputs["aux_outputs"] = [_toy_outputs(rng_np)]
+    outputs["interm_outputs"] = _toy_outputs(rng_np)
+    outputs["pred_clip_logits"] = jnp.asarray(
+        rng_np.standard_normal((2, NQ, C)).astype(np.float32)
+    )
+    targets = _toy_targets()
+    targets["clip_logits"] = jnp.asarray(
+        rng_np.standard_normal((2, G, C)).astype(np.float32)
+    )
+    losses = set_criterion(
+        outputs, targets, jax.random.PRNGKey(0), num_classes=C,
+        matcher_type="OptMatcher", use_fed_loss=True, fed_num_sample_cats=4,
+        distill_type="clip_logits",
+    )
+    for k in ("loss_ce", "loss_bbox", "loss_giou", "loss_distill",
+              "loss_ce_0", "loss_ce_interm"):
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+    # simOTA invariants on the assignment itself
+    from richsem_tpu.models.ota_matcher import ota_match
+
+    goq = np.asarray(ota_match(
+        outputs["pred_logits"], outputs["pred_boxes"],
+        targets["labels"], targets["boxes"], targets["valid"],
+    ))
+    valid = np.asarray(targets["valid"])
+    for b in range(2):
+        for g in range(G):
+            n_assigned = (goq[b] == g).sum()
+            if valid[b, g]:
+                assert n_assigned >= 1  # every valid gt covered
+            else:
+                assert n_assigned == 0  # invalid gts never assigned
 
 
 def test_full_criterion_runs_and_weights(rng):

@@ -1,0 +1,138 @@
+"""Semantic-branch knobs that round 1 ignored silently (VERDICT Missing #7):
+two_stage_cls (richsem.py:727-731), distill_aux_layers (:776-784),
+use_clip_visual_query / box2clip_query (:835-854), share_vl_proj (:64-72),
+enc_cls_agn (:408-410, :1249-1254) — plus loud rejection of the rare
+variants that stay unimplemented."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from __graft_entry__ import _tiny_cfg_dict
+from richsem_tpu.models.criterion import set_criterion
+from richsem_tpu.models.dino import DINO, DINOConfig
+
+C, NQ, HID = 6, 10, 32
+
+
+def _lang_cfg(**over):
+    return _tiny_cfg_dict(
+        use_language=True, use_visual_distill=True, distill_type="clip_logits",
+        num_classes=C, dn_labelbook_size=C, dn_number=0, use_dn=False,
+        num_queries=NQ, hidden_dim=HID, nheads=4, enc_layers=1, dec_layers=2,
+        dim_feedforward=64, use_fed_loss=False, **over,
+    )
+
+
+def _build(cfg, clip_dim=16, **apply_kw):
+    dcfg = DINOConfig.from_config(cfg)
+    dcfg = type(dcfg)(**{**dcfg.__dict__, "clip_embed_dim": clip_dim})
+    model = DINO(dcfg)
+    images = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.zeros((1, 64, 64), bool)
+    text_embed = jnp.asarray(
+        np.random.default_rng(0).normal(size=(C, clip_dim)), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), images, mask, text_embed=text_embed,
+        train=False, **apply_kw,
+    )
+    return model, params, images, mask, text_embed
+
+
+def test_two_stage_cls_changes_train_logits():
+    cfg = _lang_cfg(two_stage_cls=True)
+    model, params, images, mask, text_embed = _build(cfg)
+    out_tr = model.apply(params, images, mask, text_embed=text_embed, train=True)
+    out_ev = model.apply(params, images, mask, text_embed=text_embed, train=False)
+    # training-only fusion: train logits shift by the detached clip probs
+    assert not np.allclose(
+        np.asarray(out_tr["pred_logits"]), np.asarray(out_ev["pred_logits"])
+    )
+    assert np.isfinite(np.asarray(out_tr["pred_logits"])).all()
+    # aux layers are fused too (the reference adds to the whole stack)
+    assert not np.allclose(
+        np.asarray(out_tr["aux_outputs"][0]["pred_logits"]),
+        np.asarray(out_ev["aux_outputs"][0]["pred_logits"]),
+    )
+
+
+def test_distill_aux_layers_emits_aux_distill_losses():
+    cfg = _lang_cfg(distill_aux_layers=True)
+    model, params, images, mask, text_embed = _build(cfg)
+    out = model.apply(params, images, mask, text_embed=text_embed, train=True)
+    assert "pred_clip_logits" in out["aux_outputs"][0]
+    rng = np.random.default_rng(1)
+    targets = {
+        "labels": jnp.asarray([[1, 2]], jnp.int32),
+        "boxes": jnp.asarray(rng.uniform(0.3, 0.5, (1, 2, 4)), jnp.float32),
+        "valid": jnp.ones((1, 2), bool),
+        "clip_logits": jnp.asarray(rng.normal(size=(1, 2, C)), jnp.float32),
+    }
+    losses = set_criterion(
+        out, targets, jax.random.PRNGKey(0), num_classes=C,
+        distill_type="clip_logits", distill_aux_layers=True,
+    )
+    assert "loss_distill" in losses and "loss_distill_0" in losses
+    assert np.isfinite(float(losses["loss_distill_0"]))
+
+
+def test_share_vl_proj_single_param_tree():
+    cfg = _lang_cfg(share_vl_proj=True)
+    model, params, *_ = _build(cfg)
+    names = set(params["params"].keys())
+    assert "vl_proj" in names
+    assert "clip_visual_proj" not in names
+    assert all("dino_visual_proj" not in k for k in params["params"].get(
+        "class_embed", {}))
+
+
+def test_enc_cls_agn_linear_head_and_zeroed_interm_labels():
+    cfg = _lang_cfg(enc_cls_agn=True)
+    model, params, images, mask, text_embed = _build(cfg)
+    assert "enc_cls_kernel" in params["params"]
+    out = model.apply(params, images, mask, text_embed=text_embed, train=True)
+    targets = {
+        "labels": jnp.asarray([[3, 4]], jnp.int32),
+        "boxes": jnp.asarray([[[0.4, 0.4, 0.2, 0.2], [0.6, 0.6, 0.1, 0.1]]],
+                             jnp.float32),
+        "valid": jnp.ones((1, 2), bool),
+    }
+    losses = set_criterion(
+        out, targets, jax.random.PRNGKey(0), num_classes=C, enc_cls_agn=True,
+    )
+    assert np.isfinite(float(losses["loss_ce_interm"]))
+
+
+def test_clip_visual_query_uses_clip_features():
+    cfg = _lang_cfg(use_clip_visual_query=True)
+    clip_feats = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 2, 2, 24)), jnp.float32
+    )
+    model, params, images, mask, text_embed = _build(cfg, clip_dim=16)
+    # params must be inited WITH clip_features so clip_query_proj exists
+    params = model.init(
+        jax.random.PRNGKey(0), images, mask, text_embed=text_embed,
+        clip_features=clip_feats, train=False,
+    )
+    out1 = model.apply(params, images, mask, text_embed=text_embed,
+                       clip_features=clip_feats, train=False)
+    out2 = model.apply(params, images, mask, text_embed=text_embed,
+                       clip_features=clip_feats * 2.0, train=False)
+    assert "clip_query_proj" in params["params"]
+    assert not np.allclose(
+        np.asarray(out1["pred_logits"]), np.asarray(out2["pred_logits"])
+    )
+
+
+def test_unsupported_knobs_raise():
+    for key, val in [
+        ("num_patterns", 3),
+        ("dec_layer_number", [300, 200, 100]),
+        ("decoder_sa_type", "ca_label"),
+        ("two_stage_keep_all_tokens", True),
+    ]:
+        cfg = _tiny_cfg_dict(**{key: val})
+        with pytest.raises(NotImplementedError):
+            DINOConfig.from_config(cfg)

@@ -1,0 +1,224 @@
+"""Convert a reference RichSem/DINO torch checkpoint to richsem_tpu params.
+
+Usage:
+  python tools/convert_detector.py richsem_r50_2x.pth detector_params.pkl
+
+Maps the reference's state-dict naming (models/richsem/richsem.py DINO +
+models/richsem/deformable_transformer.py DeformableTransformer) onto the
+flax param tree of :class:`richsem_tpu.models.dino.DINO`:
+
+* ``backbone.0.body.*``          → ``backbone`` (via tools/convert_resnet)
+* ``input_proj.{i}.{0,1}``       → ``input_proj{i}.{conv,norm}``
+* ``transformer.level_embed``    → ``level_embed``
+* ``transformer.encoder.layers.{i}.{self_attn,norm1,linear1/2,norm2}``
+                                 → ``encoder_layer{i}.{self_attn,norm1,ffn}``
+* ``transformer.decoder.layers.{i}.{cross_attn,norm1,self_attn,norm2,
+   linear1/2,norm3}``            → ``decoder_layer{i}.…`` (torch packed-qkv
+                                   MultiheadAttention → flax per-head trees)
+* ``transformer.decoder.{norm,ref_point_head}`` / ``transformer.tgt_embed``
+* ``transformer.enc_output(_norm)`` / ``transformer.enc_out_bbox_embed``
+* ``transformer.enc_out_class_embed`` (Linear → ``enc_cls_kernel/bias``;
+  CLIPAlign → ``enc_out_class_embed.dino_visual_proj``)
+* ``bbox_embed.0.layers.{i}``    → ``bbox_embed.layer{i}`` (decoder-shared,
+  richsem.py:370-382)
+* ``class_embed.0``              → ``cls_kernel/cls_bias`` (closed-vocab) or
+  ``class_embed.{dino_visual_proj,label_proj,…}`` + ``logit_scale``
+  (CLIPAlign, richsem.py:64-122)
+* ``label_enc.weight``           → ``label_enc`` (dedicated-table mode)
+
+Torch Linear ``y = x Wᵀ + b`` → flax Dense kernel ``Wᵀ``; torch Conv
+``[out,in,kh,kw]`` → flax ``[kh,kw,in,out]``.
+"""
+
+from __future__ import annotations
+
+import pickle
+import sys
+from typing import Dict
+
+
+def _t(x):
+    import numpy as np
+
+    if hasattr(x, "detach"):
+        return x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _dense(sd, p):
+    out = {"kernel": _t(sd[f"{p}.weight"]).T}
+    if f"{p}.bias" in sd:
+        out["bias"] = _t(sd[f"{p}.bias"])
+    return out
+
+
+def _norm(sd, p):
+    return {"scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"])}
+
+
+def _mlp(sd, p, n_layers):
+    return {f"layer{i}": _dense(sd, f"{p}.layers.{i}") for i in range(n_layers)}
+
+
+def _msda(sd, p):
+    return {
+        k: _dense(sd, f"{p}.{k}")
+        for k in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj")
+    }
+
+
+def _mha(sd, p, nheads):
+    """torch nn.MultiheadAttention (packed qkv) → flax MHDPA tree."""
+    w = _t(sd[f"{p}.in_proj_weight"])  # [3d, d]
+    b = _t(sd[f"{p}.in_proj_bias"])
+    d = w.shape[1]
+    hd = d // nheads
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        out[name] = {
+            "kernel": w[i * d : (i + 1) * d].T.reshape(d, nheads, hd),
+            "bias": b[i * d : (i + 1) * d].reshape(nheads, hd),
+        }
+    out["out"] = {
+        "kernel": _t(sd[f"{p}.out_proj.weight"]).T.reshape(nheads, hd, d),
+        "bias": _t(sd[f"{p}.out_proj.bias"]),
+    }
+    return out
+
+
+def convert_detector(
+    sd: Dict,
+    enc_layers: int = 6,
+    dec_layers: int = 6,
+    nheads: int = 8,
+    num_feature_levels: int = 4,
+) -> Dict:
+    """→ flax ``params`` dict (contents of ``{"params": ...}``)."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    p: Dict = {}
+
+    # ---- backbone --------------------------------------------------------
+    bb = {
+        k.split("backbone.0.body.", 1)[1]: v
+        for k, v in sd.items()
+        if k.startswith("backbone.0.body.")
+    }
+    if bb:
+        from tools.convert_resnet import convert as convert_resnet
+
+        n_l3 = len({k.split(".")[1] for k in bb if k.startswith("layer3.")})
+        blocks = (3, 4, n_l3, 3)
+        p["backbone"] = convert_resnet(bb, block_counts=blocks)
+
+    # ---- input projections ----------------------------------------------
+    for i in range(num_feature_levels):
+        if f"input_proj.{i}.0.weight" not in sd:
+            continue
+        p[f"input_proj{i}"] = {
+            "conv": {
+                "kernel": _t(sd[f"input_proj.{i}.0.weight"]).transpose(2, 3, 1, 0),
+                "bias": _t(sd[f"input_proj.{i}.0.bias"]),
+            },
+            "norm": _norm(sd, f"input_proj.{i}.1"),
+        }
+
+    # ---- transformer globals ----------------------------------------------
+    p["level_embed"] = _t(sd["transformer.level_embed"])
+    p["tgt_embed"] = _t(sd["transformer.tgt_embed.weight"])
+    p["enc_output"] = _dense(sd, "transformer.enc_output")
+    p["enc_output_norm"] = _norm(sd, "transformer.enc_output_norm")
+    p["enc_out_bbox_embed"] = _mlp(sd, "transformer.enc_out_bbox_embed", 3)
+    if "transformer.enc_out_class_embed.weight" in sd:
+        # plain Linear head (enc_cls_agn / closed-vocab shared)
+        p["enc_cls_kernel"] = _t(sd["transformer.enc_out_class_embed.weight"]).T
+        p["enc_cls_bias"] = _t(sd["transformer.enc_out_class_embed.bias"])
+    elif "transformer.enc_out_class_embed.dino_visual_proj.weight" in sd:
+        p["enc_out_class_embed"] = {
+            "dino_visual_proj": _dense(
+                sd, "transformer.enc_out_class_embed.dino_visual_proj"
+            )
+        }
+    p["decoder_norm"] = _norm(sd, "transformer.decoder.norm")
+    p["ref_point_head"] = _mlp(sd, "transformer.decoder.ref_point_head", 2)
+
+    # ---- encoder / decoder layers ----------------------------------------
+    for i in range(enc_layers):
+        base = f"transformer.encoder.layers.{i}"
+        p[f"encoder_layer{i}"] = {
+            "self_attn": _msda(sd, f"{base}.self_attn"),
+            "norm1": _norm(sd, f"{base}.norm1"),
+            "ffn": {
+                "linear1": _dense(sd, f"{base}.linear1"),
+                "linear2": _dense(sd, f"{base}.linear2"),
+                "norm": _norm(sd, f"{base}.norm2"),
+            },
+        }
+    for i in range(dec_layers):
+        base = f"transformer.decoder.layers.{i}"
+        p[f"decoder_layer{i}"] = {
+            "cross_attn": _msda(sd, f"{base}.cross_attn"),
+            "norm1": _norm(sd, f"{base}.norm1"),
+            "self_attn": _mha(sd, f"{base}.self_attn", nheads),
+            "norm2": _norm(sd, f"{base}.norm2"),
+            "ffn": {
+                "linear1": _dense(sd, f"{base}.linear1"),
+                "linear2": _dense(sd, f"{base}.linear2"),
+                "norm": _norm(sd, f"{base}.norm3"),
+            },
+        }
+
+    # ---- shared heads ------------------------------------------------------
+    # decoder-shared box MLP: every bbox_embed.{lid} aliases one module
+    # (dec_pred_bbox_embed_share=True, richsem.py:370-376)
+    p["bbox_embed"] = _mlp(sd, "bbox_embed.0", 3)
+    if "class_embed.0.weight" in sd:  # closed-vocab Linear, shared
+        p["cls_kernel"] = _t(sd["class_embed.0.weight"]).T
+        p["cls_bias"] = _t(sd["class_embed.0.bias"])
+    elif "class_embed.dino_visual_proj.weight" in sd:
+        p["class_embed"] = {
+            "dino_visual_proj": _dense(sd, "class_embed.dino_visual_proj")
+        }
+    elif "class_embed.dino_visual_proj.layers.0.weight" in sd:
+        n = len({
+            k.split(".")[2]
+            for k in sd
+            if k.startswith("class_embed.dino_visual_proj.layers.")
+        })
+        p["class_embed"] = {
+            "dino_visual_proj": _mlp(sd, "class_embed.dino_visual_proj", n)
+        }
+    if "class_embed.logit_scale" in sd:
+        p["logit_scale"] = _t(sd["class_embed.logit_scale"])
+    if "class_embed.label_proj.weight" in sd:
+        p["label_proj"] = _dense(sd, "class_embed.label_proj")
+    if "class_embed.clip_visual_proj.weight" in sd:
+        p["clip_visual_proj"] = _dense(sd, "class_embed.clip_visual_proj")
+    elif "class_embed.clip_visual_proj.layers.0.weight" in sd:
+        n = len({
+            k.split(".")[2]
+            for k in sd
+            if k.startswith("class_embed.clip_visual_proj.layers.")
+        })
+        p["clip_visual_proj"] = _mlp(sd, "class_embed.clip_visual_proj", n)
+    if "label_enc.weight" in sd:
+        p["label_enc"] = _t(sd["label_enc.weight"])
+    return p
+
+
+def main():
+    import torch
+
+    src, dst = sys.argv[1], sys.argv[2]
+    obj = torch.load(src, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj.get("state_dict", obj)) if isinstance(obj, dict) else obj.state_dict()
+    enc = len({k.split(".")[3] for k in sd if k.startswith("transformer.encoder.layers.")})
+    dec = len({k.split(".")[3] for k in sd if k.startswith("transformer.decoder.layers.")})
+    params = convert_detector(sd, enc_layers=enc, dec_layers=dec)
+    with open(dst, "wb") as f:
+        pickle.dump({"params": params}, f)
+    print(f"wrote {dst} ({enc} enc / {dec} dec layers)")
+
+
+if __name__ == "__main__":
+    main()
