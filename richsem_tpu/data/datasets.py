@@ -85,6 +85,8 @@ class DetectionDataset:
             return None
         h, w = img.shape[:2]
         boxes, labels, area, iscrowd, masks = [], [], [], [], []
+        keypoints = []
+        has_kp = False
         for a in self.index.load_anns_for_img(img_id):
             if a.get("iscrowd", 0) and self.is_train:
                 continue
@@ -99,11 +101,20 @@ class DetectionDataset:
             iscrowd.append(a.get("iscrowd", 0))
             if self.with_masks:
                 masks.append(_polygons_to_mask(a.get("segmentation"), h, w))
+            if "keypoints" in a:
+                # (x, y, visibility) triplets (ConvertCocoPolysToMask,
+                # datasets/coco.py:508-521)
+                has_kp = True
+                keypoints.append(
+                    np.asarray(a["keypoints"], np.float32).reshape(-1, 3)
+                )
         extra_fields = {}
         if self.with_masks:
             extra_fields["masks"] = (
                 np.stack(masks) if masks else np.zeros((0, h, w), bool)
             )
+        if has_kp:
+            extra_fields["keypoints"] = np.stack(keypoints)
         return {
             **extra_fields,
             "image": img,
@@ -330,13 +341,67 @@ def build_dataset(image_set: str, cfg, imagenet_lvis: bool = False):
     raise ValueError(f"unknown dataset_file {name!r}")
 
 
+def _rle_counts(segmentation) -> List[int]:
+    """COCO RLE counts, decoding the compressed LEB128-style string form
+    (the published pycocotools `rleFrString` scheme: 5-bit groups, bit 5 =
+    continuation, sign-extension, and delta coding from counts[i-2])."""
+    counts = segmentation["counts"]
+    if isinstance(counts, list):
+        return [int(c) for c in counts]
+    if isinstance(counts, bytes):
+        counts = counts.decode("ascii")
+    out: List[int] = []
+    i = 0
+    while i < len(counts):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(counts[i]) - 48
+            i += 1
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(out) > 2:
+            x += out[-2]
+        out.append(x)
+    return out
+
+
+def _rle_to_mask(segmentation: dict, h: int, w: int) -> np.ndarray:
+    """COCO RLE (crowd) segmentation → bool bitmap [h, w] (column-major
+    runs, alternating background/foreground), replacing pycocotools
+    annToMask for the `iscrowd=1` records (datasets/coco.py:470-490)."""
+    rh, rw = segmentation.get("size", (h, w))
+    counts = _rle_counts(segmentation)
+    flat = np.zeros(rh * rw, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        if val:
+            flat[pos : pos + c] = True
+        pos += c
+        val = not val
+    mask = flat.reshape((rw, rh)).T  # column-major
+    if (rh, rw) != (h, w):
+        mask = cv2.resize(
+            mask.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+    return mask
+
+
 def _polygons_to_mask(segmentation, h: int, w: int) -> np.ndarray:
-    """COCO polygon segmentation → bool bitmap [h, w].
+    """COCO segmentation (polygons or RLE) → bool bitmap [h, w].
 
     Replaces pycocotools' annToMask (ConvertCocoPolysToMask,
-    datasets/coco.py:463-526) with cv2.fillPoly; RLE segmentations (crowd)
-    are not rasterized (crowds are filtered in training).
+    datasets/coco.py:463-526): polygon lists rasterize via cv2.fillPoly;
+    dict segmentations (crowd RLE, compressed or uncompressed) decode via
+    :func:`_rle_to_mask`.
     """
+    if isinstance(segmentation, dict):
+        return _rle_to_mask(segmentation, h, w)
     mask = np.zeros((h, w), np.uint8)
     if isinstance(segmentation, list):
         polys = [

@@ -4,4 +4,12 @@ from richsem_tpu.data.evaluation.detection_eval import (
     LvisEvaluator,
 )
 
-__all__ = ["DetectionEvaluator", "CocoEvaluator", "LvisEvaluator"]
+from richsem_tpu.data.evaluation.panoptic_eval import (
+    PanopticEvaluator,
+    panoptic_map_from_instances,
+)
+
+__all__ = [
+    "DetectionEvaluator", "CocoEvaluator", "LvisEvaluator",
+    "PanopticEvaluator", "panoptic_map_from_instances",
+]

@@ -46,6 +46,14 @@ def hflip(r: Record) -> Record:
         r["boxes"] = b
     if "masks" in r and len(r["masks"]):
         r["masks"] = np.ascontiguousarray(r["masks"][:, :, ::-1])
+    if "keypoints" in r and len(r["keypoints"]):
+        # (x, y, v): mirror x for visible points (the reference carries
+        # keypoints untransformed, datasets/coco.py:508-521; transforming
+        # them is strictly more correct)
+        kp = r["keypoints"].copy()
+        vis = kp[..., 2] > 0
+        kp[..., 0] = np.where(vis, w - kp[..., 0], kp[..., 0])
+        r["keypoints"] = kp
     return r
 
 
@@ -86,6 +94,11 @@ def resize(r: Record, size: int, max_size: Optional[int] = None) -> Record:
                 for m in r["masks"]
             ]
         ).astype(bool)
+    if "keypoints" in r and len(r["keypoints"]):
+        kp = r["keypoints"].copy()
+        kp[..., 0] *= rw
+        kp[..., 1] *= rh
+        r["keypoints"] = kp
     r["size"] = (nh, nw)
     return r
 
@@ -106,6 +119,16 @@ def crop(r: Record, top: int, left: int, ch: int, cw: int) -> Record:
                 r[f] = r[f][keep]
         if "masks" in r and len(r["masks"]):
             r["masks"] = r["masks"][:, top : top + ch, left : left + cw][keep]
+        if "keypoints" in r and len(r["keypoints"]):
+            kp = r["keypoints"].copy()
+            kp[..., 0] -= left
+            kp[..., 1] -= top
+            inside = (
+                (kp[..., 0] >= 0) & (kp[..., 0] < cw)
+                & (kp[..., 1] >= 0) & (kp[..., 1] < ch)
+            )
+            kp[..., 2] = np.where(inside, kp[..., 2], 0.0)
+            r["keypoints"] = kp[keep]
         r["area"] = (
             (r["boxes"][:, 2] - r["boxes"][:, 0])
             * (r["boxes"][:, 3] - r["boxes"][:, 1])

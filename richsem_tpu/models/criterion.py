@@ -479,6 +479,40 @@ def set_criterion(
             _loss_masks(outputs["pred_masks"], col, targets["masks"],
                         gt_valid, num_boxes)
         )
+    elif "mask_params" in outputs and "masks" in targets and not many_to_one:
+        # CondInst: instantiate dynamic masks only at the MATCHED queries
+        # (static [B, G] instances) instead of all nq — the shapes the
+        # reference gets by indexing with the match lists (cond_inst.py:
+        # 258-273); the dynamic convs are parameter-free given the
+        # controller output, so the criterion runs them directly.
+        from richsem_tpu.models.cond_inst import dynamic_mask_logits
+        from richsem_tpu.models.segmentation import dice_loss, mask_focal_loss
+
+        mask_feats = outputs["mask_feats"]  # [B, Hm, Wm, Cm]
+        hm, wm = mask_feats.shape[1:3]
+        stride = outputs.get("mask_feat_stride", 8)
+        sel_params = jnp.take_along_axis(
+            outputs["mask_params"], jnp.clip(col, 0)[..., None], axis=1
+        )
+        sel_boxes = jnp.take_along_axis(
+            outputs["pred_boxes"], jnp.clip(col, 0)[..., None], axis=1
+        )
+        scale = jnp.asarray([wm * stride, hm * stride], jnp.float32)
+        centers = jax.lax.stop_gradient(
+            sel_boxes[..., :2].astype(jnp.float32)
+        ) * scale
+        logits = dynamic_mask_logits(mask_feats, sel_params, centers,
+                                     mask_feat_stride=stride)
+        m = (gt_valid & (col >= 0)).reshape(-1)
+        bG = logits.shape[0] * logits.shape[1]
+        losses["loss_mask"] = mask_focal_loss(
+            logits.reshape(bG, hm, wm),
+            targets["masks"].reshape(bG, hm, wm), m, num_boxes,
+        )
+        losses["loss_dice"] = dice_loss(
+            logits.reshape(bG, hm, wm),
+            targets["masks"].reshape(bG, hm, wm), m, num_boxes,
+        )
 
     # ---- DN losses ---------------------------------------------------
     if dn_meta is not None and "dn_outputs" in outputs:

@@ -106,6 +106,7 @@ class DINOConfig:
     msda_margin: int = 8
     msda_tile: Tuple[int, int] = (16, 16)
     masks: bool = False  # instance segmentation heads (DETRsegm parity)
+    mask_head_type: str = "detr"  # 'detr' (DETRsegm) | 'cond_inst' (cond_inst.py)
 
     @classmethod
     def from_config(cls, cfg) -> "DINOConfig":
@@ -176,6 +177,7 @@ class DINOConfig:
             msda_margin=getattr(cfg, "msda_margin", 8),
             msda_tile=tuple(getattr(cfg, "msda_tile", (16, 16))),
             masks=getattr(cfg, "masks", False),
+            mask_head_type=getattr(cfg, "mask_head_type", "detr"),
         )
 
 
@@ -422,7 +424,11 @@ class DINO(nn.Module):
                 kernel_init=nn.initializers.normal(c.clip_embed_dim**-0.5),
                 name="label_proj",
             )
-        if c.masks:
+        if c.masks and c.mask_head_type == "cond_inst":
+            from richsem_tpu.models.cond_inst import CondInstHead
+
+            self.cond_inst = CondInstHead(c.hidden_dim, name="cond_inst")
+        elif c.masks:
             from richsem_tpu.models.segmentation import (
                 MaskHeadSmallConv,
                 MHAttentionMap,
@@ -745,7 +751,16 @@ class DINO(nn.Module):
             "pred_logits": interm_class,
             "pred_boxes": init_box_proposal,
         }
-        if c.masks:
+        if c.masks and c.mask_head_type == "cond_inst":
+            # CondInst: per-query dynamic-conv params + a shared stride-8
+            # mask feature map; the criterion (or PostProcess) instantiates
+            # per-instance masks from matched/selected queries
+            # (cond_inst.py:206-288)
+            out["mask_feats"] = self.cond_inst.mask_features(srcs[:3])
+            out["mask_params"] = self.cond_inst.controller_params(
+                hs_layers[-1][:, num_dn:]
+            )
+        elif c.masks:
             # DETRsegm: per-query attention over the stride-32 projected
             # feature, FPN mask head through C4/C3 (segmentation.py:20-170)
             hs_match = hs_layers[-1][:, num_dn:]
