@@ -49,7 +49,9 @@ def main() -> None:
 
     cfg = Config.fromfile("configs/richsem/richsem_4scale_lvis.py")
     cfg.compute_dtype = "bfloat16"
-    cfg.use_checkpoint = True
+    # layer-level remat is net-negative now that the msda core checkpoints
+    # itself (residuals = value/loc/attn, basis recomputed in backward)
+    cfg.use_checkpoint = False
     model = DINO(DINOConfig.from_config(cfg))
 
     h, w = CANVAS

@@ -19,6 +19,7 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,18 +129,35 @@ class MSDeformAttn(nn.Module):
             reference_points.astype(jnp.float32), offsets, spatial_shapes, p
         )
         use_tiled = False
-        if self.impl == "tiled" and q == s:
-            from richsem_tpu.ops.ms_deform_attn_tiled import (
-                ms_deform_attn_tiled,
-                tiled_supported,
-            )
+        if self.impl in ("tiled", "pallas") and q == s:
+            from richsem_tpu.ops.ms_deform_attn_tiled import tiled_supported
 
             use_tiled = tiled_supported(spatial_shapes, self.tiled_tile)
-        if use_tiled:
-            out = ms_deform_attn_tiled(
+        if use_tiled and self.impl == "pallas":
+            from richsem_tpu.ops.ms_deform_attn_pallas import (
+                ms_deform_attn_tiled_pallas,
+            )
+
+            out = ms_deform_attn_tiled_pallas(
                 value, spatial_shapes, loc, attn, tile=self.tiled_tile,
                 margin=self.tiled_margin,
             )
+        elif use_tiled:
+            from richsem_tpu.ops.ms_deform_attn_tiled import (
+                ms_deform_attn_tiled,
+            )
+
+            # rematerialize ONLY the sampling core: its residuals are the
+            # ~1.4 GB/layer window+basis tensors; recomputing them in the
+            # backward keeps (value, loc, attn) as the only saved state and
+            # lets the encoder layers skip module-level remat entirely
+            core = jax.checkpoint(
+                lambda v, l, a: ms_deform_attn_tiled(
+                    v, spatial_shapes, l, a, tile=self.tiled_tile,
+                    margin=self.tiled_margin,
+                )
+            )
+            out = core(value, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         return nn.Dense(
