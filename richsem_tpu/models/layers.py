@@ -133,6 +133,20 @@ class MSDeformAttn(nn.Module):
             from richsem_tpu.ops.ms_deform_attn_tiled import tiled_supported
 
             use_tiled = tiled_supported(spatial_shapes, self.tiled_tile)
+        if use_tiled:
+            # Truncation monitor (VERDICT r1 weak #2): the windowed kernels
+            # read zeros for samples landing farther than `margin` px
+            # outside their tile. |offset|∞ ≤ margin can never truncate, so
+            # the fraction beyond margin upper-bounds the affected taps —
+            # watch it in the train metrics to catch offset drift.
+            beyond = (
+                jnp.abs(jax.lax.stop_gradient(offsets)).max(-1)
+                > float(self.tiled_margin)
+            )
+            self.sow(
+                "intermediates", "offset_beyond_margin",
+                beyond.astype(jnp.float32).mean(),
+            )
         if use_tiled and self.impl == "pallas":
             from richsem_tpu.ops.ms_deform_attn_pallas import (
                 ms_deform_attn_tiled_pallas,

@@ -131,12 +131,22 @@ def make_train_step(model, cfg, tx, clip_model=None):
                 dn_boxes_unsig=dn_boxes_unsig,
                 dn_attn_mask=dn_attn,
             )
-        outputs = model.apply(
+        outputs, mut = model.apply(
             params, batch["images"], batch["pad_mask"],
             text_embed=text_embed, train=True,
             clip_features=clip_spatial if use_clip_query else None,
+            mutable=["intermediates"],
             **dn_args,
         )
+        # kernel-truncation monitor (sown by MSDeformAttn on the tiled path)
+        sown = [
+            v
+            for path, v in jax.tree_util.tree_flatten_with_path(
+                mut.get("intermediates", {})
+            )[0]
+            if "offset_beyond_margin" in jax.tree_util.keystr(path)
+        ]
+        offset_monitor = jnp.stack(sown).mean() if sown else None
         if use_teacher and cfg.clip_distill_objective in ("pred", "pred_all"):
             # teacher rescoring of the *predicted* boxes
             # (set_distill_outputs pred path, richsem.py:492-519)
@@ -205,6 +215,8 @@ def make_train_step(model, cfg, tx, clip_model=None):
             if cfg.mask_labels:
                 weight_mask["loss_ce"] = keep
         total = weighted_loss(losses, weight_dict, weight_mask)
+        if offset_monitor is not None:
+            losses["offset_beyond_margin"] = offset_monitor
         return total, losses
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -232,7 +244,8 @@ def make_train_step(model, cfg, tx, clip_model=None):
         metrics.update(
             {k: v for k, v in losses.items()
              if k in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_dn",
-                      "loss_distill", "class_error", "cardinality_error")}
+                      "loss_distill", "class_error", "cardinality_error",
+                      "offset_beyond_margin")}
         )
         new_state = state.replace(
             step=state.step + 1,

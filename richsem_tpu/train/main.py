@@ -254,6 +254,23 @@ def _to_device(batch: Dict[str, np.ndarray]):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def prefetch_to_device(batches, place, depth: int = 2):
+    """Double-buffered device prefetch: place the NEXT batch(es) while the
+    current step runs (``jax.device_put``/``make_array_from_process_local_
+    data`` are async). The reference relies on DataLoader worker processes
+    + synchronous ``.to(device)`` (engine.py:46-47); here the H2D copy of
+    step *n+1* overlaps step *n*'s compute."""
+    from collections import deque
+
+    buf = deque()
+    for batch in batches:
+        buf.append(place(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def make_batch_placer(mesh):
     """Per-host batch dict → global arrays sharded over the mesh 'data'
     axis — the DDP-equivalent placement (reference: DistributedSampler +
@@ -433,12 +450,12 @@ def train_loop(cfg) -> Dict:
         prev_finite = None
         prev_it = -1
         with jax.set_mesh(mesh):
-            for it, batch in enumerate(
-                mlog.log_every(train_loader.epoch(epoch), 50,
+            placed = prefetch_to_device(train_loader.epoch(epoch), place_batch)
+            for it, dev_batch in enumerate(
+                mlog.log_every(placed, 50,
                                header=f"Epoch [{epoch}]", total=steps_per_epoch)
             ):
                 rng, step_rng = jax.random.split(rng)
-                dev_batch = place_batch(batch)
                 if fed_weight is not None:
                     dev_batch["fed_weight"] = fed_weight
                 state, metrics = train_step(

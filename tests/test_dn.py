@@ -110,3 +110,53 @@ def test_zero_gt_batch():
     assert (np.asarray(dn_labels) == -1).all()
     assert (np.asarray(meta["match_gt"]) == -1).all()
     assert np.isfinite(np.asarray(dn_boxes)).all()
+
+
+def test_check_pos_dn_retry_restores_nearest_gt():
+    """Behavioral check (VERDICT r1 weak #8): with check_pos_dn, every
+    noised POSITIVE whose nearest-IoU gt drifted to another gt gets its
+    noise halved until its own gt is nearest again (dn_components.py:91-119
+    retry semantics) — so positives must end up closest to their own gt."""
+    from richsem_tpu.models.dn import prepare_cdn
+    from richsem_tpu.utils.boxes import box_iou
+
+    rng = np.random.default_rng(3)
+    b, g = 2, 4
+    # two nearby gt clusters so large noise easily flips the nearest gt
+    boxes = np.stack([
+        np.array([[0.3, 0.3, 0.1, 0.1], [0.36, 0.3, 0.1, 0.1],
+                  [0.7, 0.7, 0.12, 0.12], [0.74, 0.7, 0.12, 0.12]]),
+        np.array([[0.2, 0.6, 0.1, 0.14], [0.26, 0.6, 0.1, 0.14],
+                  [0.6, 0.25, 0.1, 0.1], [0.66, 0.25, 0.1, 0.1]]),
+    ]).astype(np.float32)
+    labels = jnp.asarray(rng.integers(0, 5, (b, g)), jnp.int32)
+    valid = jnp.ones((b, g), bool)
+
+    def flip_fraction(check):
+        dn_labels, dn_boxes_unsig, _, meta = prepare_cdn(
+            labels, jnp.asarray(boxes), valid, jax.random.PRNGKey(0),
+            dn_number=8, label_noise_ratio=0.0, box_noise_scale=2.0,
+            num_classes=5, num_queries=10, check_pos_dn=check,
+        )
+        dn_boxes = jax.nn.sigmoid(dn_boxes_unsig)
+
+        def to_xyxy(x):
+            return jnp.concatenate(
+                [x[..., :2] - x[..., 2:] / 2, x[..., :2] + x[..., 2:] / 2], -1
+            )
+
+        iou = jax.vmap(lambda a, g_: box_iou(a, g_)[0])(
+            to_xyxy(dn_boxes), to_xyxy(jnp.asarray(boxes))
+        )  # [B, P, G]
+        nearest = jnp.argmax(iou, -1)
+        match_gt = meta["match_gt"]
+        pos = match_gt >= 0
+        flipped = pos & (nearest != jnp.clip(match_gt, 0))
+        return float(flipped.sum()) / max(float(pos.sum()), 1.0)
+
+    without = flip_fraction(False)
+    with_retry = flip_fraction(True)
+    # huge noise scale flips many positives without the retry...
+    assert without > 0.2, f"test setup too easy: flip rate {without}"
+    # ...and the retry must repair (nearly) all of them
+    assert with_retry <= 0.05, f"retry left {with_retry:.2%} flipped"
