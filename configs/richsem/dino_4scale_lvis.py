@@ -176,4 +176,7 @@ clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"
 # auto-falls back to the exact gather path on unsupported shapes.
 msda_impl = "tiled"
 msda_margin = 8
+# per-step kernel-truncation diagnostic (fraction of sampling offsets
+# beyond msda_margin); ~10% step cost — enable for validation runs
+monitor_msda_offsets = False
 msda_tile = (16, 16)   # tiled-kernel query tile (swept optimum on v5e)

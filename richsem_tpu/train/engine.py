@@ -72,6 +72,9 @@ def make_train_step(model, cfg, tx, clip_model=None):
     use_teacher = cfg.use_visual_distill and clip_model is not None
     use_clip_query = getattr(cfg, "use_clip_visual_query", False)
     distill_aux = getattr(cfg, "distill_aux_layers", False)
+    # the sown-intermediates collection costs ~10% step time (it blocks
+    # fusion across the mutable boundary) — opt in for validation runs
+    monitor_offsets = getattr(cfg, "monitor_msda_offsets", False)
     if distill_aux and getattr(cfg, "clip_distill_objective", "gt") != "gt":
         # per-aux-layer teacher RoI rescoring of predicted boxes is a 6×
         # teacher-cost path the reference only exercises with 'gt'
@@ -131,22 +134,31 @@ def make_train_step(model, cfg, tx, clip_model=None):
                 dn_boxes_unsig=dn_boxes_unsig,
                 dn_attn_mask=dn_attn,
             )
-        outputs, mut = model.apply(
-            params, batch["images"], batch["pad_mask"],
+        apply_kw = dict(
             text_embed=text_embed, train=True,
             clip_features=clip_spatial if use_clip_query else None,
-            mutable=["intermediates"],
-            **dn_args,
         )
-        # kernel-truncation monitor (sown by MSDeformAttn on the tiled path)
-        sown = [
-            v
-            for path, v in jax.tree_util.tree_flatten_with_path(
-                mut.get("intermediates", {})
-            )[0]
-            if "offset_beyond_margin" in jax.tree_util.keystr(path)
-        ]
-        offset_monitor = jnp.stack(sown).mean() if sown else None
+        offset_monitor = None
+        if monitor_offsets:
+            outputs, mut = model.apply(
+                params, batch["images"], batch["pad_mask"],
+                mutable=["intermediates"], **apply_kw, **dn_args,
+            )
+            # kernel-truncation monitor (sown by MSDeformAttn, tiled path)
+            sown = [
+                v
+                for path, v in jax.tree_util.tree_flatten_with_path(
+                    mut.get("intermediates", {})
+                )[0]
+                if "offset_beyond_margin" in jax.tree_util.keystr(path)
+            ]
+            if sown:
+                offset_monitor = jnp.stack(sown).mean()
+        else:
+            outputs = model.apply(
+                params, batch["images"], batch["pad_mask"],
+                **apply_kw, **dn_args,
+            )
         if use_teacher and cfg.clip_distill_objective in ("pred", "pred_all"):
             # teacher rescoring of the *predicted* boxes
             # (set_distill_outputs pred path, richsem.py:492-519)

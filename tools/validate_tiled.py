@@ -44,6 +44,7 @@ def run(impl: str, root: str, out_dir: str, margin: int, epochs: int):
         mesh_shape={"data": -1, "model": 1}, use_checkpoint=False,
         num_select=5, fed_num_sample_cats=3,
         msda_impl=impl, msda_tile=(8, 8), msda_margin=margin,
+        monitor_msda_offsets=True,
         lr=5e-4,
     )
     train_loop(cfg)
