@@ -152,7 +152,9 @@ def panoptic_map_from_instances(
     for i in order:
         if scores[i] < score_threshold:
             continue
-        m = masks[i] > 0.5 if masks.dtype != bool else masks[i]
+        # float masks are LOGITS: p=0.5 is logit 0 (thresholding logits at
+        # 0.5 would demand p≈0.62 and shrink every segment)
+        m = masks[i] > 0.0 if masks.dtype != bool else masks[i]
         area = int(m.sum())
         if area == 0:
             continue

@@ -193,7 +193,7 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         n = x.shape[1]
         mask = None
         if causal:
@@ -202,7 +202,7 @@ class ResidualAttentionBlock(nn.Module):
             num_heads=self.heads, qkv_features=self.width, name="attn",
         )(h, h, h, mask=mask)
         x = x + h
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(self.width * 4, name="mlp_c_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(self.width, name="mlp_c_proj")(h)
@@ -228,15 +228,18 @@ class VisionTransformer(nn.Module):
             ((c.image_resolution // p) ** 2 + 1, width),
         )
         y = y + _resize_pos_embed(pos, gh, gw)
-        y = nn.LayerNorm(name="ln_pre")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(y)
         for i in range(c.vision_layers[0]):
             y = ResidualAttentionBlock(width, c.vision_heads, name=f"block{i}")(y)
-        if ret_sp:
-            sp = nn.LayerNorm(name="ln_post")(y[:, 1:])
-            return sp.reshape(b, gh, gw, width)
-        y = nn.LayerNorm(name="ln_post")(y[:, 0])
         proj = self.param("proj", nn.initializers.normal(width**-0.5),
                           (width, c.embed_dim))
+        if ret_sp:
+            # reference ret_sp applies ln_post AND the projection to every
+            # token; the spatial map carries embed_dim channels
+            # (clip/model.py:269-275)
+            sp = nn.LayerNorm(epsilon=1e-5, name="ln_post")(y) @ proj
+            return sp[:, 1:].reshape(b, gh, gw, c.embed_dim)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_post")(y[:, 0])
         return y @ proj
 
 
@@ -274,7 +277,7 @@ class CLIP(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01),
             (c.context_length, c.transformer_width),
         )
-        self.ln_final = nn.LayerNorm(name="ln_final")
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
         self.text_projection = self.param(
             "text_projection",
             nn.initializers.normal(c.transformer_width**-0.5),

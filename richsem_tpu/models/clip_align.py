@@ -186,3 +186,45 @@ def clip_pseudo_labels(
     labels = probs.argmax(-1).astype(jnp.int32)
     keep = gt_valid & (top > threshold)
     return labels, keep
+
+
+def clip_pseudo_labels_multi(
+    clip_logits: jnp.ndarray,  # [B,G,C] teacher logits at gt boxes
+    gt_boxes: jnp.ndarray,  # [B,G,4]
+    gt_valid: jnp.ndarray,  # [B,G]
+    threshold: float = 0.05,
+    expand_topk: int = 4,
+):
+    """Multi-label pseudo-label expansion (richsem.py:631-670 parity).
+
+    The reference rewrites each extra image's targets to ALL (box, class)
+    pairs whose teacher softmax exceeds the threshold — one box can spawn
+    several supervised pairs. Static-shape version: every valid gt slot
+    proposes its top-``expand_topk`` classes; candidates are ranked so each
+    slot's argmax outranks every runner-up, then runner-ups by probability;
+    the top ``G`` candidates fill the (fixed-width) target slots. This
+    reproduces the reference's expansion exactly whenever the number of
+    above-threshold pairs fits the GT pad — beyond that, lowest-probability
+    runner-ups are dropped (the pad already caps the reference's dynamic
+    list on conversion).
+
+    → (labels [B,G], boxes [B,G,4], keep [B,G], slot [B,G] — the source gt
+    slot of each output pair, for permuting any per-slot side data such as
+    the teacher distill targets).
+    """
+    b, g, _ = clip_logits.shape
+    k = expand_topk
+    probs = jax.nn.softmax(clip_logits.astype(jnp.float32), axis=-1)
+    topp, topi = jax.lax.top_k(probs, k)  # [B,G,K]
+    cand_valid = gt_valid[..., None] & (topp > threshold)
+    is_argmax = jnp.arange(k) == 0
+    score = jnp.where(cand_valid, topp + 2.0 * is_argmax, -jnp.inf)
+    flat_score = score.reshape(b, g * k)
+    _, sel = jax.lax.top_k(flat_score, g)  # [B,G] candidate ids
+    slot = sel // k  # source gt slot of each selected candidate
+    labels = jnp.take_along_axis(
+        topi.reshape(b, g * k), sel, axis=1
+    ).astype(jnp.int32)
+    boxes = jnp.take_along_axis(gt_boxes, slot[..., None], axis=1)
+    keep = jnp.take_along_axis(cand_valid.reshape(b, g * k), sel, axis=1)
+    return labels, boxes, keep, slot

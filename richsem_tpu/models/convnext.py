@@ -56,7 +56,7 @@ class ConvNeXtBlock(nn.Module):
             self.dim, (7, 7), padding=[(3, 3)] * 2,
             feature_group_count=self.dim, name="dwconv",
         )(x)
-        y = nn.LayerNorm(name="norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
         y = nn.Dense(self.dim * 4, name="pwconv1")(y)
         y = nn.gelu(y)
         y = nn.Dense(self.dim, name="pwconv2")(y)
@@ -81,12 +81,12 @@ class ConvNeXt(nn.Module):
         c = self.cfg
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         y = nn.Conv(c.dims[0], (4, 4), strides=(4, 4), name="stem")(x)
-        y = nn.LayerNorm(name="stem_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="stem_norm")(y)
         outs = []
         blk = 0
         for stage, depth in enumerate(c.depths):
             if stage > 0:
-                y = nn.LayerNorm(name=f"down_norm{stage}")(y)
+                y = nn.LayerNorm(epsilon=1e-5, name=f"down_norm{stage}")(y)
                 y = nn.Conv(
                     c.dims[stage], (2, 2), strides=(2, 2), name=f"down{stage}"
                 )(y)
@@ -97,5 +97,5 @@ class ConvNeXt(nn.Module):
                 )(y, deterministic)
                 blk += 1
             if stage in c.out_indices:
-                outs.append(nn.LayerNorm(name=f"out_norm{stage}")(y))
+                outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(y))
         return tuple(outs)

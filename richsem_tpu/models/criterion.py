@@ -44,6 +44,7 @@ def fed_loss_classes(
     num_classes: int,
     num_sample_cats: int,
     fed_weight: Optional[Array] = None,  # [C] image_count^0.5 (set_cats parity)
+    max_appeared: Optional[int] = None,
 ):
     """→ ``(ids [W], mask [W])``: ALL appeared classes plus classes sampled
     ∝ fed_weight without replacement (Gumbel top-k) up to ``num_sample_cats``
@@ -51,8 +52,16 @@ def fed_loss_classes(
     than ``num_sample_cats`` of them (fed_loss.py:15-26); the static-width
     equivalent is a table wide enough for the worst case
     (``W = min(C, max(num_sample_cats, N))``) with the unused tail masked
-    out — the *active* set size is ``max(num_sample_cats, n_appeared)``."""
+    out — the *active* set size is ``max(num_sample_cats, n_appeared)``.
+
+    ``max_appeared`` caps the worst-case appeared-class count when
+    ``matched_labels`` contains duplicates by construction (the OptMatcher
+    many-to-one layout passes per-query labels [B·Q] whose distinct values
+    are bounded by the B·G gt slots — without the cap the table degenerates
+    to the full class set)."""
     n = int(matched_labels.size)
+    if max_appeared is not None:
+        n = min(n, int(max_appeared))
     num_sample_cats = min(num_sample_cats, num_classes)
     width = min(num_classes, max(num_sample_cats, n))
     appeared = jnp.zeros((num_classes,), bool)
@@ -379,13 +388,18 @@ def set_criterion(
             return None
         labels = gt_labels if labels is None else labels
         valid = gt_valid if valid is None else valid
+        max_appeared = None
         if many_to_one and labels is gt_labels:
             lbl, assigned = _gather_gt_per_query(col, gt_labels, gt_valid)
             matched = jnp.where(assigned, lbl, -1).reshape(-1)
+            # distinct appeared classes are bounded by the B·G gt slots, not
+            # the B·Q per-query copies — keep the fed table narrow
+            max_appeared = int(gt_labels.size)
         else:
             matched = jnp.where(valid & (col >= 0), labels, -1).reshape(-1)
         return fed_loss_classes(
-            rng_i, matched, num_classes, fed_num_sample_cats, fed_weight
+            rng_i, matched, num_classes, fed_num_sample_cats, fed_weight,
+            max_appeared=max_appeared,
         )
 
     def _distill_kl_m2o(pred_clip_logits, gt_of_query, nb, kd_fids):
@@ -469,6 +483,19 @@ def set_criterion(
         "pred_clip_logits" in outputs or "pred_clip_embed" in outputs
     )
 
+    if (
+        many_to_one
+        and "masks" in targets
+        and ("pred_masks" in outputs or "mask_params" in outputs)
+    ):
+        # fail loudly: the mask losses are only implemented for one-to-one
+        # matchers — silently skipping would leave the mask head unsupervised
+        raise NotImplementedError(
+            "mask losses under matcher_type='OptMatcher' (many-to-one) are "
+            "not implemented; use HungarianMatcher/SimpleMinsumMatcher with "
+            "masks=True"
+        )
+
     # ---- final decoder layer ----------------------------------------
     col = run_matcher(outputs)
     losses.update(one_set(outputs, rngs[0], col, num_boxes, has_distill))
@@ -501,8 +528,14 @@ def set_criterion(
         centers = jax.lax.stop_gradient(
             sel_boxes[..., :2].astype(jnp.float32)
         ) * scale
-        logits = dynamic_mask_logits(mask_feats, sel_params, centers,
-                                     mask_feat_stride=stride)
+        layout = outputs.get("mask_head_layout", {})
+        logits = dynamic_mask_logits(
+            mask_feats, sel_params, centers,
+            dy_channels=layout.get("dy_channels", 8),
+            layers=layout.get("layers", 3),
+            rel_coord=layout.get("rel_coord", True),
+            mask_feat_stride=stride,
+        )
         m = (gt_valid & (col >= 0)).reshape(-1)
         bG = logits.shape[0] * logits.shape[1]
         losses["loss_mask"] = mask_focal_loss(

@@ -137,6 +137,14 @@ class DINOConfig:
             raise NotImplementedError(
                 "use_clip_visual_query requires use_language=True"
             )
+        if getattr(cfg, "use_clip_visual_query", False) and not cfg.use_visual_distill:
+            # the CLIP spatial map the query crop reads only exists on the
+            # distill path (richsem.py:614-629) — without it the knob would
+            # silently no-op in training
+            raise NotImplementedError(
+                "use_clip_visual_query requires use_visual_distill=True "
+                "(the teacher spatial map is computed on the distill path)"
+            )
         return cls(
             num_classes=cfg.num_classes,
             hidden_dim=cfg.hidden_dim,
@@ -760,6 +768,14 @@ class DINO(nn.Module):
             out["mask_params"] = self.cond_inst.controller_params(
                 hs_layers[-1][:, num_dn:]
             )
+            # export the head's dynamic-conv layout so the criterion's
+            # param slicing always agrees with the controller output
+            out["mask_feat_stride"] = self.cond_inst.mask_feat_stride
+            out["mask_head_layout"] = {
+                "dy_channels": self.cond_inst.dy_channels,
+                "layers": self.cond_inst.controller_layers,
+                "rel_coord": self.cond_inst.rel_coord,
+            }
         elif c.masks:
             # DETRsegm: per-query attention over the stride-32 projected
             # feature, FPN mask head through C4/C3 (segmentation.py:20-170)

@@ -82,12 +82,12 @@ class FocalBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = FocalModulation(
             self.dim, self.focal_level, self.focal_window, name="modulation"
         )(y)
         x = x + self._drop_path(y, deterministic)
-        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(self.dim * 4, name="mlp_fc1")(z)
         z = nn.gelu(z)
         z = nn.Dense(self.dim, name="mlp_fc2")(z)
@@ -112,7 +112,7 @@ class FocalNet(nn.Module):
         dims = [c.embed_dim * 2**i for i in range(len(c.depths))]
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         y = nn.Conv(dims[0], (4, 4), strides=(4, 4), name="patch_embed")(x)
-        y = nn.LayerNorm(name="patch_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
         outs = []
         blk = 0
         for stage, depth in enumerate(c.depths):
@@ -120,7 +120,7 @@ class FocalNet(nn.Module):
                 y = nn.Conv(
                     dims[stage], (2, 2), strides=(2, 2), name=f"down{stage}"
                 )(y)
-                y = nn.LayerNorm(name=f"down_norm{stage}")(y)
+                y = nn.LayerNorm(epsilon=1e-5, name=f"down_norm{stage}")(y)
             for i in range(depth):
                 y = FocalBlock(
                     dims[stage], c.focal_level, c.focal_window, dpr[blk],
@@ -128,5 +128,5 @@ class FocalNet(nn.Module):
                 )(y, deterministic)
                 blk += 1
             if stage in c.out_indices:
-                outs.append(nn.LayerNorm(name=f"out_norm{stage}")(y))
+                outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(y))
         return tuple(outs)

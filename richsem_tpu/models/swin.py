@@ -127,7 +127,7 @@ class SwinBlock(nn.Module):
         pad_b = (-h) % ws
         pad_r = (-w) % ws
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
         mask = None
@@ -143,7 +143,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + self._drop_path(y, deterministic)
-        z = nn.LayerNorm(name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
         z = nn.gelu(z)
         z = nn.Dense(self.dim, name="mlp_fc2")(z)
@@ -180,7 +180,7 @@ class SwinTransformer(nn.Module):
         dims = [c.embed_dim * 2**i for i in range(len(c.depths))]
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
         y = nn.Conv(c.embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
-        y = nn.LayerNorm(name="patch_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
         outs = []
         blk = 0
         for stage, depth in enumerate(c.depths):
@@ -197,7 +197,7 @@ class SwinTransformer(nn.Module):
                 blk += 1
             if stage in c.out_indices:
                 outs.append(
-                    nn.LayerNorm(name=f"out_norm{stage}")(y)
+                    nn.LayerNorm(epsilon=1e-5, name=f"out_norm{stage}")(y)
                 )
             if stage < len(c.depths) - 1:
                 # patch merging: 2×2 neighborhood concat → LN → linear ↓2
@@ -210,6 +210,6 @@ class SwinTransformer(nn.Module):
                 y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
                     b, h // 2, w // 2, 4 * ch
                 )
-                y = nn.LayerNorm(name=f"merge_norm{stage}")(y)
+                y = nn.LayerNorm(epsilon=1e-5, name=f"merge_norm{stage}")(y)
                 y = nn.Dense(2 * ch, use_bias=False, name=f"merge_reduce{stage}")(y)
         return tuple(outs)

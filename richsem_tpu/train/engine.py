@@ -110,13 +110,37 @@ def make_train_step(model, cfg, tx, clip_model=None):
                          clip_embed=clip_embed, clip_valid=clip_valid)
             if cfg.use_imagenet_pusedo_labels and "is_extra" in batch:
                 # teacher-rescored weak labels for extra data
-                # (richsem.py:631-670)
-                pl, keep = clip_pseudo_labels(
-                    clip_logits, batch["valid"], cfg.clip_pusedo_th
+                # (richsem.py:631-670): every above-threshold (box, class)
+                # pair becomes a supervised slot, runner-up classes filling
+                # the padded free gt slots
+                from richsem_tpu.models.clip_align import (
+                    clip_pseudo_labels_multi,
+                )
+
+                pl, pb, keep, slot = clip_pseudo_labels_multi(
+                    clip_logits, batch["boxes"], batch["valid"],
+                    cfg.clip_pusedo_th,
+                    expand_topk=getattr(cfg, "clip_pusedo_topk", 4),
                 )
                 extra = batch["is_extra"][:, None]
                 batch["labels"] = jnp.where(extra, pl, batch["labels"])
+                batch["boxes"] = jnp.where(
+                    extra[..., None], pb, batch["boxes"]
+                )
                 batch["valid"] = jnp.where(extra, keep, batch["valid"])
+                # keep the per-slot teacher targets aligned with the
+                # permuted (expanded) slots on extra rows
+                for key in ("clip_logits", "clip_embed"):
+                    sel = jnp.take_along_axis(
+                        batch[key], slot[..., None], axis=1
+                    )
+                    batch[key] = jnp.where(
+                        extra[..., None], sel, batch[key]
+                    )
+                sel_cv = jnp.take_along_axis(batch["clip_valid"], slot, axis=1)
+                batch["clip_valid"] = jnp.where(
+                    extra, sel_cv, batch["clip_valid"]
+                )
         dn_args = {}
         dn_meta = None
         if use_dn:
@@ -270,14 +294,32 @@ def make_train_step(model, cfg, tx, clip_model=None):
     return train_step
 
 
-def make_eval_step(model, cfg):
-    """Inference forward + PostProcess (engine.py:173-227 equivalent)."""
+def make_eval_step(model, cfg, clip_model=None):
+    """Inference forward + PostProcess (engine.py:173-227 equivalent).
+
+    When ``use_clip_visual_query`` is on, the reference applies
+    box2clip_query at inference too (richsem.py:692) — so the eval step
+    computes the teacher spatial map and threads it through, keeping the
+    content-query path identical between train and eval."""
+    use_clip_query = getattr(cfg, "use_clip_visual_query", False)
+    if use_clip_query and clip_model is None:
+        raise ValueError(
+            "use_clip_visual_query eval needs the CLIP teacher at inference "
+            "(pass clip_model to make_eval_step)"
+        )
 
     @jax.jit
-    def eval_step(params, batch, text_embed=None):
+    def eval_step(params, batch, text_embed=None, clip_params=None):
+        clip_spatial = None
+        if use_clip_query:
+            from richsem_tpu.models.clip_align import clip_spatial_features
+
+            clip_spatial = clip_spatial_features(
+                clip_model, clip_params, batch["images"]
+            )
         outputs = model.apply(
             params, batch["images"], batch["pad_mask"],
-            text_embed=text_embed, train=False,
+            text_embed=text_embed, clip_features=clip_spatial, train=False,
         )
         results = postprocess(
             outputs["pred_logits"], outputs["pred_boxes"],

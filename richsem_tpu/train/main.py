@@ -79,6 +79,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrain_model_path", type=str, default=S)
     p.add_argument("--finetune_ignore", type=str, nargs="+", default=S)
     p.add_argument("--eval", action="store_true", default=S)
+    p.add_argument("--save_results", action="store_true", default=S,
+                   help="dump per-process gt/pred arrays during eval "
+                        "(reference engine.py:239-299)")
     p.add_argument("--test", action="store_true", default=S)
     p.add_argument("--debug", action="store_true", default=S)
     p.add_argument("--seed", type=int, default=S)
@@ -157,11 +160,16 @@ def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
 
 
 def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=None,
-             place_batch=None):
-    """Eval loop + AP summary (engine.py:149-330 equivalent)."""
+             place_batch=None, clip_model=None, clip_params=None,
+             save_results_dir=None):
+    """Eval loop + AP summary (engine.py:149-330 equivalent).
+
+    ``save_results_dir`` mirrors the reference's ``--save_results`` dump
+    (engine.py:239-299): per-process {gt, prediction} arrays pickled to
+    ``results_rank{k}.pkl`` for offline AP-parity diffing."""
     from richsem_tpu.data.evaluation import LvisEvaluator, CocoEvaluator
 
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, clip_model=clip_model)
     if jax.process_count() > 1:
         # per-process eval on local devices: canvas buckets differ between
         # processes in the same round, so inputs cannot form one global
@@ -214,8 +222,9 @@ def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=Non
             yield last
 
     n = 0
+    saved = []
     for batch in _rounds():
-        results = eval_step(params, place_batch(batch), text_embed)
+        results = eval_step(params, place_batch(batch), text_embed, clip_params)
         if multihost:
             # each process evaluates a shard; gather fixed-shape prediction
             # arrays host-side (the reference's pickle-all_gather eval merge,
@@ -241,9 +250,33 @@ def evaluate(cfg, model, params, val_loader, val_ds, text_embed=None, logger=Non
                 "boxes": results["boxes"][i],
             }
         evaluator.update(preds)
+        if save_results_dir is not None:
+            # reference --save_results (engine.py:239-299): keep the raw
+            # per-image gt/pred arrays for offline diffing
+            saved.append({
+                "image_id": np.asarray(batch["image_id"]),
+                "orig_size": np.asarray(batch["orig_size"]),
+                "gt_labels": np.asarray(batch["labels"]),
+                "gt_boxes": np.asarray(batch["boxes"]),
+                "gt_valid": np.asarray(batch["valid"]),
+                "scores": np.asarray(results["scores"]),
+                "labels": np.asarray(results["labels"]),
+                "boxes": np.asarray(results["boxes"]),
+            })
         n += len(preds)
         if cfg.debug and n >= 30:
             break
+    if save_results_dir is not None:
+        import pickle
+
+        os.makedirs(save_results_dir, exist_ok=True)
+        out = os.path.join(
+            save_results_dir, f"results_rank{jax.process_index()}.pkl"
+        )
+        with open(out, "wb") as f:
+            pickle.dump(saved, f)
+        if logger:
+            logger.info(f"saved {len(saved)} eval batches to {out}")
     stats = evaluator.summarize()
     if logger:
         logger.info(f"eval on {n} images: {stats}")
@@ -287,13 +320,16 @@ def make_batch_placer(mesh):
     return place
 
 
-def test_submission(cfg, model, params, val_loader, text_embed=None):
+def test_submission(cfg, model, params, val_loader, text_embed=None,
+                    clip_model=None, clip_params=None):
     """Submission mode: COCO-format result records (engine.py:333-447
     ``test`` + ``convert_to_xywh`` parity)."""
-    eval_step = make_eval_step(model, cfg)
+    eval_step = make_eval_step(model, cfg, clip_model=clip_model)
     records = []
     for batch in val_loader.epoch(0):
-        results = jax.device_get(eval_step(params, _to_device(batch), text_embed))
+        results = jax.device_get(
+            eval_step(params, _to_device(batch), text_embed, clip_params)
+        )
         for i in range(len(batch["image_id"])):
             boxes = results["boxes"][i]
             xywh = np.stack(
@@ -338,11 +374,21 @@ def train_loop(cfg) -> Dict:
     # init params on a representative bucket
     bh, bw = cfg.train_canvas_buckets[0]
     rng = jax.random.PRNGKey(cfg.seed)
+    init_kw = {}
+    if getattr(cfg, "use_clip_visual_query", False):
+        # clip_query_proj params only materialize when the CLIP spatial map
+        # is present at init — hand init a correctly-shaped dummy (RN50's
+        # pre-attnpool map is 2048-d, ViT-B/32's is 768-d; clip/model.py)
+        dv = 2048 if cfg.clip_model == "RN50" else 768
+        init_kw["clip_features"] = jnp.zeros(
+            (1, bh // 32, bw // 32, dv), jnp.float32
+        )
     params = jax.jit(model.init, static_argnames=("train",))(
         rng,
         jnp.zeros((1, bh, bw, 3), jnp.float32),
         jnp.zeros((1, bh, bw), bool),
         train=False,
+        **init_kw,
     )
     if cfg.pretrain_model_path:
         from richsem_tpu.utils.checkpoint import load_pretrained_params
@@ -417,7 +463,8 @@ def train_loop(cfg) -> Dict:
     state = jax.device_put(state, rep)
 
     if cfg.test:
-        res = test_submission(cfg, model, state.params, val_loader, text_embed)
+        res = test_submission(cfg, model, state.params, val_loader, text_embed,
+                              clip_model=clip_model, clip_params=clip_params)
         out_path = os.path.join(cfg.output_dir or ".", "results.json")
         with open(out_path, "w") as f:
             json.dump(res, f)
@@ -427,7 +474,10 @@ def train_loop(cfg) -> Dict:
     if cfg.eval:
         stats = evaluate(cfg, model, state.params,
                          val_loader, val_ds, text_embed, logger,
-                         place_batch=place_batch)
+                         place_batch=place_batch,
+                         clip_model=clip_model, clip_params=clip_params,
+                         save_results_dir=(cfg.output_dir or ".")
+                         if getattr(cfg, "save_results", False) else None)
         return {"eval": stats}
 
     best = BestMetricHolder(use_ema=cfg.use_ema)
@@ -483,7 +533,8 @@ def train_loop(cfg) -> Dict:
         if (epoch + 1) % cfg.eval_interval == 0:
             stats = evaluate(cfg, model, state.params,
                              val_loader, val_ds, text_embed, logger,
-                             place_batch=place_batch)
+                             place_batch=place_batch,
+                             clip_model=clip_model, clip_params=clip_params)
             ap = stats.get("AP", float("nan"))
             if best.update(ap, epoch) and ckpt:
                 ckpt.save(int(state.step), state, metrics={"AP": ap})
@@ -492,6 +543,7 @@ def train_loop(cfg) -> Dict:
                     cfg, model, state.ema_params,
                     val_loader, val_ds, text_embed, logger,
                     place_batch=place_batch,
+                    clip_model=clip_model, clip_params=clip_params,
                 )
                 best.update(ema_stats.get("AP", float("nan")), epoch, is_ema=True)
                 epoch_stats.update({f"ema_{k}": v for k, v in ema_stats.items()})

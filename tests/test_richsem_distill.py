@@ -134,3 +134,55 @@ def test_logit_scale_frozen_in_optimizer(setup):
     }
     ls_keys = [k for k in flat if "logit_scale" in k]
     assert ls_keys and all(flat[k] == 0.0 for k in ls_keys)
+
+
+def test_pseudo_label_multi_expansion():
+    """richsem.py:631-670 parity: an extra image whose teacher puts TWO
+    classes above threshold on one gt box yields TWO supervised slots (same
+    box, both classes), runner-ups filling padded free gt slots."""
+    from richsem_tpu.models.clip_align import clip_pseudo_labels_multi
+
+    b, g, c = 1, 4, 6
+    logits = np.full((b, g, c), -20.0, np.float32)
+    # slot 0: classes 2 and 4 both above threshold (argmax = 2)
+    logits[0, 0, 2] = 5.0
+    logits[0, 0, 4] = 4.5
+    # slot 1: single confident class 1
+    logits[0, 1, 1] = 8.0
+    valid = np.array([[True, True, False, False]])
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[0, 0] = [0.3, 0.3, 0.2, 0.2]
+    boxes[0, 1] = [0.7, 0.7, 0.1, 0.1]
+    labels, out_boxes, keep, slot = jax.tree.map(
+        np.asarray,
+        clip_pseudo_labels_multi(
+            jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(valid),
+            threshold=0.05,
+        ),
+    )
+    kept = [
+        (int(labels[0, i]), tuple(out_boxes[0, i]), int(slot[0, i]))
+        for i in range(g) if keep[0, i]
+    ]
+    assert len(kept) == 3
+    # both above-threshold classes of slot 0 are supervised, on slot 0's box
+    cls_for_box0 = sorted(l for l, bx, s in kept if s == 0)
+    assert cls_for_box0 == [2, 4]
+    assert all(bx == tuple(boxes[0, 0]) for l, bx, s in kept if s == 0)
+    # slot 1 keeps its single label
+    assert [(l, s) for l, bx, s in kept if s == 1] == [(1, 1)]
+    # argmaxes outrank runner-ups: slots 0..1 of the output are the argmaxes
+    assert sorted(int(labels[0, i]) for i in range(2)) == [1, 2]
+
+
+def test_pseudo_label_multi_below_threshold_dropped():
+    from richsem_tpu.models.clip_align import clip_pseudo_labels_multi
+
+    logits = np.full((1, 3, 5), 0.0, np.float32)  # uniform: p = 0.2 each
+    valid = np.array([[True, True, True]])
+    boxes = np.zeros((1, 3, 4), np.float32)
+    labels, out_boxes, keep, slot = clip_pseudo_labels_multi(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(valid),
+        threshold=0.5,
+    )
+    assert not bool(np.asarray(keep).any())

@@ -66,7 +66,16 @@ def convert_rn50_visual(sd) -> Dict:
     for i in (1, 2, 3):
         out[f"conv{i}"] = {"kernel": _conv(sd[f"visual.conv{i}.weight"])}
         out[f"bn{i}"] = _bn(sd, f"visual.bn{i}")
-    layer_sizes = {1: 3, 2: 4, 3: 6, 4: 3}
+    # sniff block counts from the state dict (clip/model.py:451-453
+    # build_model does the same) so any ModifiedResNet depth converts
+    layer_sizes = {
+        li: len({
+            k.split(".")[2]
+            for k in sd
+            if k.startswith(f"visual.layer{li}.")
+        })
+        for li in (1, 2, 3, 4)
+    }
     for li, n in layer_sizes.items():
         for b in range(n):
             p = f"visual.layer{li}.{b}"
@@ -89,7 +98,17 @@ def convert_rn50_visual(sd) -> Dict:
     return out
 
 
-def convert_vit_visual(sd, width=768, heads=12, layers=12) -> Dict:
+def convert_vit_visual(sd) -> Dict:
+    # sniff tower geometry from the state dict (clip/model.py:446-457
+    # build_model parity): width from conv1's out channels, torch's
+    # heads = width // 64 convention, layer count from the resblock keys
+    width = sd["visual.conv1.weight"].shape[0]
+    heads = width // 64
+    layers = len({
+        k.split(".")[3]
+        for k in sd
+        if k.startswith("visual.transformer.resblocks.")
+    })
     out = {
         "conv1": {"kernel": _conv(sd["visual.conv1.weight"])},
         "class_embedding": _t(sd["visual.class_embedding"]),
