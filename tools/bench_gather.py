@@ -102,6 +102,11 @@ def main():
         if "patch" in which:
             rec(f"{tag}_patch_fwd", chain(ms_deform_attn_patch, val, loc, aw))
             rec(f"{tag}_patch_fwdbwd", chain_bwd(ms_deform_attn_patch, val, loc, aw))
+        if tag == "dec" and "sep" in which:
+            from richsem_tpu.ops.ms_deform_attn_sep import ms_deform_attn_sep
+
+            rec("dec_sep_fwd", chain(ms_deform_attn_sep, val, loc, aw))
+            rec("dec_sep_fwdbwd", chain_bwd(ms_deform_attn_sep, val, loc, aw))
         if tag == "enc" and "tiled" in which:
             from richsem_tpu.ops.ms_deform_attn_tiled import ms_deform_attn_tiled
 
