@@ -33,7 +33,7 @@ A100_IMAGES_PER_SEC = 4.4
 # per chip, landscape canvas bucket, 1204 classes, 900 queries, DN 100.
 BATCH = 2
 CANVAS = (896, 1344)
-MAX_GT = 60  # matcher-relevant pad; LVIS p95
+MAX_GT = 300  # matches configs/richsem/base_data_aug.py max_gt_per_image (LVIS max ~294)
 
 
 def main() -> None:

@@ -175,6 +175,13 @@ class DINOConfig:
                 and cfg.use_visual_distill
             ),
             distill_aux_layers=getattr(cfg, "distill_aux_layers", False),
+            # joint text/visual dim follows the teacher tower (RN50 → 1024,
+            # ViT-B/32 → 512) unless set explicitly (tiny test teachers)
+            clip_embed_dim=getattr(
+                cfg, "clip_embed_dim",
+                512 if getattr(cfg, "clip_model", "RN50") == "ViT-B/32"
+                else 1024,
+            ),
             use_clip_visual_query=getattr(cfg, "use_clip_visual_query", False),
             share_vl_proj=getattr(cfg, "share_vl_proj", False),
             enc_cls_agn=getattr(cfg, "enc_cls_agn", False),

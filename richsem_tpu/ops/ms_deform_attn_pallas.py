@@ -274,10 +274,18 @@ def _window_origins(strides, windowed, margin, ti, tj):
     return outs
 
 
-def _start_window_dmas(val_refs, win_refs, sems, strides, windows, windowed,
-                       b, ti, tj):
-    """Row-wise window DMAs for the windowed levels (one DMA per row —
-    slicing both spatial dims in one DMA faults the v5e worker)."""
+def _window_dmas(val_refs, win_refs, sems, strides, windows, windowed,
+                 cell_g, slot, ty, tx):
+    """The row-wise window DMA set for linear grid cell ``cell_g`` into
+    double-buffer ``slot`` (one DMA per row — slicing both spatial dims in
+    one DMA faults the v5e worker).  Same arguments reconstruct the same
+    descriptors, so callers .start() at issue time and .wait() one grid
+    step later (double-buffered prefetch: cell c computes from slot c%2
+    while cell c+1 streams into slot (c+1)%2)."""
+    bb = cell_g // (ty * tx)
+    rem = cell_g - bb * (ty * tx)
+    ti = rem // tx
+    tj = rem - ti * tx
     dmas = []
     for v in range(len(strides)):
         if not windowed[v]:
@@ -285,21 +293,47 @@ def _start_window_dmas(val_refs, win_refs, sems, strides, windows, windowed,
         sy, sx = strides[v]
         wy, wx = windows[v]
         for y in range(wy):
-            dma = pltpu.make_async_copy(
-                val_refs[v].at[b, :, ti * sy + y, pl.ds(tj * sx, wx), :],
-                win_refs[v].at[:, y],
-                sems.at[v, y],
-            )
-            dma.start()
-            dmas.append(dma)
+            dmas.append(pltpu.make_async_copy(
+                val_refs[v].at[bb, :, ti * sy + y, pl.ds(tj * sx, wx), :],
+                win_refs[v].at[slot, :, y],
+                sems.at[slot, v, y],
+            ))
     return dmas
 
 
-def _region_value(win_refs, val_refs, windowed, v, m_heads, wy, wx):
+def _prefetch_windows(val_refs, win_refs, sems, strides, windows, windowed,
+                      b, ti, tj, ty, tx, n_cells):
+    """Issue/await the double-buffered window streams for the current grid
+    cell; returns the VMEM slot holding its windows."""
+    if not any(windowed):
+        return 0
+    g = (b * ty + ti) * tx + tj
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        for dma in _window_dmas(val_refs, win_refs, sems, strides, windows,
+                                windowed, 0, 0, ty, tx):
+            dma.start()
+
+    @pl.when(g + 1 < n_cells)
+    def _():
+        for dma in _window_dmas(val_refs, win_refs, sems, strides, windows,
+                                windowed, g + 1, jax.lax.rem(g + 1, 2),
+                                ty, tx):
+            dma.start()
+
+    for dma in _window_dmas(val_refs, win_refs, sems, strides, windows,
+                            windowed, g, slot, ty, tx):
+        dma.wait()
+    return slot
+
+
+def _region_value(win_refs, val_refs, windowed, v, m_heads, wy, wx, slot):
     """→ the level-v value region as [M, wy·wx, 128] (VMEM)."""
     if windowed[v]:
         dp = win_refs[v].shape[-1]
-        return win_refs[v][...].reshape(m_heads, wy * wx, dp)
+        return win_refs[v][slot].reshape(m_heads, wy * wx, dp)
     blk = val_refs[v][...]  # [1, M, Hv, Wv, 128]
     dp = blk.shape[-1]
     return blk.reshape(m_heads, wy * wx, dp)
@@ -321,11 +355,13 @@ def _fwd_kernel(spatial_shapes, tiles, strides, windows, windowed, margin,
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    ty = pl.num_programs(1)
+    tx = pl.num_programs(2)
+    n_cells = pl.num_programs(0) * ty * tx
     cdt = jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32
 
-    for dma in _start_window_dmas(val_refs, win_refs, sems, strides, windows,
-                                  windowed, b, ti, tj):
-        dma.wait()
+    slot = _prefetch_windows(val_refs, win_refs, sems, strides, windows,
+                             windowed, b, ti, tj, ty, tx, n_cells)
     origins = _window_origins(strides, windowed, margin, ti, tj)
 
     for a in range(n_lvl):
@@ -346,7 +382,7 @@ def _fwd_kernel(spatial_shapes, tiles, strides, windows, windowed, margin,
                 p_pts, cdt,
             )
             win = _region_value(win_refs, val_refs, windowed, v, m_heads,
-                                wy, wx)
+                                wy, wx, slot)
             acc = acc + jax.lax.dot_general(
                 basis, win.astype(cdt),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -408,11 +444,11 @@ def _fwd_pallas(value, spatial_shapes, loc, aw, tile, margin):
         ],
         scratch_shapes=[
             pltpu.VMEM(
-                (m_heads, wy, wx, _LANE) if windowed[v] else (1, 1, 1, 1),
+                (2, m_heads, wy, wx, _LANE) if windowed[v] else (1, 1, 1, 1, 1),
                 value.dtype,
             )
             for v, (wy, wx) in enumerate(windows)
-        ] + [pltpu.SemaphoreType.DMA((n_lvl, max(wy for wy, _ in windows)))],
+        ] + [pltpu.SemaphoreType.DMA((2, n_lvl, max(wy for wy, _ in windows)))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -440,13 +476,15 @@ def _bwd_kernel(spatial_shapes, tiles, strides, windows, windowed, margin,
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
+    ty = pl.num_programs(1)
+    tx = pl.num_programs(2)
+    n_cells = pl.num_programs(0) * ty * tx
     first_tile = jnp.logical_and(ti == 0, tj == 0)
     d_out = g_refs[0].shape[-1]
     cdt = jnp.bfloat16 if win_refs[0].dtype == jnp.bfloat16 else jnp.float32
 
-    for dma in _start_window_dmas(val_refs, win_refs, sems, strides, windows,
-                                  windowed, b, ti, tj):
-        dma.wait()
+    slot = _prefetch_windows(val_refs, win_refs, sems, strides, windows,
+                             windowed, b, ti, tj, ty, tx, n_cells)
     origins = _window_origins(strides, windowed, margin, ti, tj)
 
     # whole-level value-grad blocks are revisited across every (ti, tj) of a
@@ -459,7 +497,7 @@ def _bwd_kernel(spatial_shapes, tiles, strides, windows, windowed, margin,
 
     dwin_accs = {
         v: jnp.zeros(
-            (win_refs[v].shape[0], windows[v][0] * windows[v][1], d_out),
+            (win_refs[v].shape[1], windows[v][0] * windows[v][1], d_out),
             jnp.float32,
         )
         for v in range(n_lvl)
@@ -483,7 +521,7 @@ def _bwd_kernel(spatial_shapes, tiles, strides, windows, windowed, margin,
             aw_v = _lanes(aww, v * p_pts, p_pts)
             win = jax.lax.slice_in_dim(
                 _region_value(win_refs, val_refs, windowed, v, m_heads,
-                              wy, wx),
+                              wy, wx, slot),
                 0, d_out, axis=2,
             ).astype(cdt)
 
@@ -651,11 +689,11 @@ def _bwd_pallas(value, spatial_shapes, loc, aw, tile, margin, g):
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (m_heads, wy, wx, _LANE) if windowed[v] else (1, 1, 1, 1),
+                (2, m_heads, wy, wx, _LANE) if windowed[v] else (1, 1, 1, 1, 1),
                 value.dtype,
             )
             for v, (wy, wx) in enumerate(windows)
-        ] + [pltpu.SemaphoreType.DMA((n_lvl, max(wy for wy, _ in windows)))],
+        ] + [pltpu.SemaphoreType.DMA((2, n_lvl, max(wy for wy, _ in windows)))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

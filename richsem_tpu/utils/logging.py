@@ -114,7 +114,11 @@ class MetricLogger:
         raise AttributeError(attr)
 
     def __str__(self) -> str:
-        return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
+        # data_time/iter_time already print as dedicated fields in log_every
+        return self.delimiter.join(
+            f"{k}: {m}" for k, m in self.meters.items()
+            if k not in ("data_time", "iter_time")
+        )
 
     def log_every(
         self,
@@ -134,6 +138,11 @@ class MetricLogger:
             data_time.update(time.time() - end)
             yield obj
             iter_time.update(time.time() - end)
+            # persist into the named meters so epoch stats (and the JSON log
+            # line) carry input-pipeline visibility: data_time = host wait
+            # for the next placed batch (loader + H2D), iter_time = full step
+            self.meters["data_time"].update(data_time.value)
+            self.meters["iter_time"].update(iter_time.value)
             if i % print_freq == 0 or (total > 0 and i == total - 1):
                 if total > 0:
                     eta = iter_time.global_avg * (total - i)

@@ -118,3 +118,54 @@ def test_train_eval_resume(tmp_path, monkeypatch):
     # auto-resume: nothing left to train, returns immediately
     out2 = train_loop(cfg)
     assert "best" in out2
+
+
+@pytest.mark.slow
+def test_optmatcher_mesh_step():
+    """OptMatcher (simOTA many-to-one) under GSPMD: one DP train step over
+    the 8-device mesh compiles and executes (VERDICT r2 next #4)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_cfg_dict
+    from richsem_tpu.models.dino import DINO, DINOConfig
+    from richsem_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from richsem_tpu.train.engine import create_train_state, make_train_step
+    from richsem_tpu.train.optim import build_optimizer
+
+    n = jax.device_count()
+    cfg = _tiny_cfg_dict(matcher_type="OptMatcher")
+    mesh = make_mesh(data=n, model=1)
+    model = DINO(DINOConfig.from_config(cfg))
+
+    b, h, w, g = n, 64, 64, 5
+    rng_np = np.random.default_rng(0)
+    images = jnp.asarray(rng_np.uniform(-1, 1, (b, h, w, 3)), jnp.float32)
+    pad_mask = jnp.zeros((b, h, w), bool)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), images, pad_mask, train=False
+    )
+    tx = build_optimizer(params, cfg, steps_per_epoch=10)
+    state = create_train_state(params, tx)
+    batch = {
+        "images": images,
+        "pad_mask": pad_mask,
+        "labels": jnp.asarray(rng_np.integers(0, 24, (b, g)), jnp.int32),
+        "boxes": jnp.asarray(
+            np.clip(rng_np.uniform(0.2, 0.6, (b, g, 4)), 0.05, 0.95),
+            jnp.float32,
+        ),
+        "valid": jnp.asarray(rng_np.uniform(size=(b, g)) > 0.4),
+        "is_extra": jnp.zeros((b,), bool),
+    }
+    with jax.set_mesh(mesh):
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        batch = {k: jax.device_put(v, bs) for k, v in batch.items()}
+        state = jax.device_put(state, rep)
+        train_step = make_train_step(model, cfg, tx)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,586 @@
+"""Flagship-surface parity vs the reference RichSem modules (VERDICT r2 #3).
+
+Extends the closed-vocab transformer-core parity (test_reference_parity.py)
+to the open-vocab semantic branch, driving the reference's OWN torch code
+(richsem.py / dn_components.py) as the oracle:
+
+  * ``CLIPAlign.forward_hs`` — the open-vocab classification head
+    (richsem.py:191-205): vl projection (linear and 4-layer MLP variants),
+    L2 normalization of both sides, exp(logit_scale) scaling — vs our
+    ``ClipAlignHead`` with converted weights;
+  * ``CLIPAlign.get_label_enc`` — the DN label encoding through
+    ``label_proj(text_embed)`` (richsem.py:89-91, 178-180) — vs
+    ``DINO.encode_dn_labels`` in the ``dn_labelbook_reuse_cls +
+    use_language`` mode;
+  * the RoI distill-target chain (richsem.py:536-552 ``clip_inference``:
+    detectron2-``ROIAlign(aligned=True, sampling_ratio=0)`` crop of the
+    CLIP spatial map → ``attnpool`` → normalize → text logits ×
+    exp(logit_scale)) — vs ``clip_align.clip_teacher_box_targets`` with a
+    ``tools/convert_clip.py``-converted teacher;
+  * the CDN query/mask layout vs ``prepare_for_cdn``
+    (dn_components.py:11-193) under FORCED noise draws (noise generators
+    patched to constants on both sides so the box arithmetic compares
+    exactly), including the group-blocked attention mask.
+
+Like tests/reference_harness.py this file is TEST GLUE: it executes
+reference code as a specification oracle; nothing here ships in
+richsem_tpu/.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/repo")
+
+pytestmark = pytest.mark.usefixtures("f32_matmuls")
+
+
+@pytest.fixture(scope="module")
+def f32_matmuls():
+    with jax.default_matmul_precision("float32"):
+        yield
+
+
+# ---------------------------------------------------------------------------
+# reference module loading (stub the deps this image lacks)
+# ---------------------------------------------------------------------------
+
+REF = "/root/reference"
+
+
+class _RefROIAlign:
+    """detectron2 ``ROIAlign(output_size, spatial_scale, sampling_ratio=0,
+    aligned=True)`` oracle (the one module the reference takes from
+    detectron2, richsem.py:25): per-box adaptive ``ceil(roi_extent/out)``
+    bilinear grid averaged per bin, half-pixel aligned, zero outside."""
+
+    def __init__(self, output_size, spatial_scale, sampling_ratio, aligned):
+        assert aligned and sampling_ratio == 0
+        self.out = output_size if isinstance(output_size, int) else output_size[0]
+        self.scale = spatial_scale
+
+    def forward(self, feats, rois):
+        import torch.nn.functional as F
+
+        n, c, h, w = feats.shape
+        out = self.out
+        res = []
+        for r in range(rois.shape[0]):
+            b = int(rois[r, 0].item())
+            x1, y1, x2, y2 = (rois[r, 1:] * self.scale - 0.0).tolist()
+            # aligned=True: continuous coords shift by -0.5 at sample time
+            roi_w = max(x2 - x1, 1e-6)
+            roi_h = max(y2 - y1, 1e-6)
+            gy = max(1, math.ceil(roi_h / out))
+            gx = max(1, math.ceil(roi_w / out))
+            ys = (
+                y1
+                + (torch.arange(out)[:, None] + (torch.arange(gy) + 0.5)[None, :] / gy)
+                * (roi_h / out)
+                - 0.5
+            ).reshape(-1)
+            xs = (
+                x1
+                + (torch.arange(out)[:, None] + (torch.arange(gx) + 0.5)[None, :] / gx)
+                * (roi_w / out)
+                - 0.5
+            ).reshape(-1)
+            # bilinear with zero padding outside
+            fy = torch.clamp(ys, -1, h).float()
+            fx = torch.clamp(xs, -1, w).float()
+            y0 = torch.floor(fy)
+            x0 = torch.floor(fx)
+            wy1 = fy - y0
+            wx1 = fx - x0
+            acc = torch.zeros(c, len(ys), len(xs))
+            for oy, wy in ((0, 1 - wy1), (1, wy1)):
+                for ox, wx in ((0, 1 - wx1), (1, wx1)):
+                    iy = (y0 + oy).long()
+                    ix = (x0 + ox).long()
+                    vy = (iy >= 0) & (iy < h)
+                    vx = (ix >= 0) & (ix < w)
+                    tap = feats[b][:, iy.clamp(0, h - 1)][:, :, ix.clamp(0, w - 1)]
+                    wgt = (wy * vy)[None, :, None] * (wx * vx)[None, None, :]
+                    acc = acc + tap * wgt
+            acc = acc.reshape(c, out, gy, out, gx).mean(dim=(2, 4))
+            res.append(acc)
+        return torch.stack(res)
+
+
+def _ensure_richsem_module():
+    """Import /root/reference/models/richsem/richsem.py with stubs for
+    torchvision / detectron2 / clip / datasets.transforms."""
+    if "models.richsem.richsem" in sys.modules:
+        return sys.modules["models.richsem.richsem"]
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from tests.reference_harness import _ensure_stub_packages
+
+    _ensure_stub_packages()
+    tvb = types.ModuleType("torchvision.ops.boxes")
+    tvb.nms = lambda *a, **k: None
+    tvb.batched_nms = lambda *a, **k: None
+    # util/box_ops.py imports box_area; the reference's own generalized_box_iou
+    # path recomputes areas, so the plain xyxy area suffices
+    tvb.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    # models/richsem/backbone.py (imported by richsem.py) pulls
+    # torchvision.models._utils; the backbone itself is never built here
+    tvm = types.ModuleType("torchvision.models")
+    tvmu = types.ModuleType("torchvision.models._utils")
+    tvmu.IntermediateLayerGetter = type("IntermediateLayerGetter", (), {})
+    tvm._utils = tvmu
+    sys.modules["torchvision"].models = tvm
+    sys.modules["torchvision.models"] = tvm
+    sys.modules["torchvision.models._utils"] = tvmu
+    # backbone.py imports the convnext/swin/focalnet builders, which need timm
+    timm = types.ModuleType("timm")
+    timm_m = types.ModuleType("timm.models")
+    timm_l = types.ModuleType("timm.models.layers")
+    timm_l.trunc_normal_ = lambda *a, **k: None
+    timm_l.DropPath = type("DropPath", (torch.nn.Module,), {})
+    timm_l.to_2tuple = lambda x: (x, x) if isinstance(x, int) else x
+    timm.create_model = lambda *a, **k: None
+    timm.models = timm_m
+    timm_m.layers = timm_l
+    timm_h = types.ModuleType("timm.models.helpers")
+    timm_h.build_model_with_cfg = lambda *a, **k: None
+    timm_r = types.ModuleType("timm.models.registry")
+    timm_r.register_model = lambda f: f
+    timm_rn = types.ModuleType("timm.models.resnet")
+    timm_rn.ResNet = type("ResNet", (torch.nn.Module,), {})
+    timm_rn.Bottleneck = type("Bottleneck", (torch.nn.Module,), {})
+    timm_rn.default_cfgs = {}
+    for name, mod in (
+        ("timm", timm), ("timm.models", timm_m), ("timm.models.layers", timm_l),
+        ("timm.models.helpers", timm_h), ("timm.models.registry", timm_r),
+        ("timm.models.resnet", timm_rn),
+    ):
+        sys.modules[name] = mod
+    sys.modules["torchvision.ops.boxes"] = tvb
+    sys.modules["torchvision.ops"].boxes = tvb
+    d2 = types.ModuleType("detectron2")
+    d2l = types.ModuleType("detectron2.layers")
+    d2r = types.ModuleType("detectron2.layers.roi_align")
+    d2r.ROIAlign = _RefROIAlign
+    sys.modules["detectron2"] = d2
+    sys.modules["detectron2.layers"] = d2l
+    sys.modules["detectron2.layers.roi_align"] = d2r
+    clip_pkg = types.ModuleType("clip")
+    clip_pkg.tokenize = lambda *a, **k: None
+    clip_utils = types.ModuleType("clip.utils")
+    clip_utils.get_prompt_templates = lambda: ["a photo of a {}."]
+    clip_pkg.utils = clip_utils
+    # clip.model / clip.load for models.richsem.clip_text_encoder
+    spec = importlib.util.spec_from_file_location(
+        "clip.model", f"{REF}/clip/model.py"
+    )
+    clip_model_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(clip_model_mod)
+    clip_pkg.model = clip_model_mod
+    clip_pkg.load = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("zero-egress: no checkpoint download in tests")
+    )
+    sys.modules["clip"] = clip_pkg
+    sys.modules["clip.model"] = clip_model_mod
+    sys.modules["clip.utils"] = clip_utils
+    dt = types.ModuleType("datasets.transforms")
+    dsp = types.ModuleType("datasets")
+    dsp.__path__ = [f"{REF}/datasets"]
+
+    class _Norm:
+        def __init__(self, mean, std):
+            self.mean, self.std = mean, std
+
+        def __call__(self, img, target):
+            import torchvision  # noqa — never reached; Compose below is used
+
+    class _Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, img, target):
+            for t in self.ts:
+                mean = torch.tensor(t.mean).view(-1, 1, 1)
+                std = torch.tensor(t.std).view(-1, 1, 1)
+                img = (img - mean) / std
+            return img, target
+
+    dt.Normalize = _Norm
+    dt.Compose = _Compose
+    sys.modules["datasets"] = dsp
+    sys.modules["datasets.transforms"] = dt
+
+    import importlib as _il
+
+    return _il.import_module("models.richsem.richsem")
+
+
+def _make_ref_clipalign(richsem_mod, v_dim, l_dim, use_mlp_cls,
+                        use_label_enc=False, seed=0):
+    """CLIPAlign with the CLIP tower swapped for a minimal stand-in (the
+    projections under test never touch the tower)."""
+    import torch.nn as nn
+
+    class _TinyClip(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_projection = nn.Parameter(torch.zeros(32, l_dim))
+            self.logit_scale = nn.Parameter(
+                torch.tensor(float(np.log(1 / 0.07)))
+            )
+
+    orig = richsem_mod.build_clip_model
+    richsem_mod.build_clip_model = lambda *a, **k: _TinyClip()
+    try:
+        torch.manual_seed(seed)
+        ca = richsem_mod.CLIPAlign(
+            v_dim=v_dim, freeze=True, use_cnn_clip=True,
+            use_label_enc=use_label_enc, use_visual=True,
+            use_mlp_cls=use_mlp_cls, use_mlp_distill=False,
+            share_vl_proj=False, use_clip_visual_proj=True,
+        )
+    finally:
+        richsem_mod.build_clip_model = orig
+    return ca
+
+
+# ---------------------------------------------------------------------------
+# 1) forward_hs: open-vocab classification head
+# ---------------------------------------------------------------------------
+
+V_DIM, L_DIM, NUM_C = 32, 48, 11
+
+
+def _head_params_from_ref(ca, use_mlp):
+    """CLIPAlign.dino_visual_proj torch weights → ClipAlignHead params."""
+    if use_mlp:
+        layers = {}
+        for i, lin in enumerate(ca.dino_visual_proj.layers):
+            layers[f"layer{i}"] = {
+                "kernel": jnp.asarray(lin.weight.detach().numpy().T),
+                "bias": jnp.asarray(lin.bias.detach().numpy()),
+            }
+        return {"dino_visual_proj": layers}
+    return {
+        "dino_visual_proj": {
+            "kernel": jnp.asarray(ca.dino_visual_proj.weight.detach().numpy().T)
+        }
+    }
+
+
+@pytest.mark.parametrize("use_mlp", [False, True])
+def test_forward_hs_parity(use_mlp):
+    richsem_mod = _ensure_richsem_module()
+    ca = _make_ref_clipalign(richsem_mod, V_DIM, L_DIM, use_mlp_cls=use_mlp)
+    rng = np.random.default_rng(0)
+    text = rng.normal(size=(NUM_C, L_DIM)).astype(np.float32)
+    hs = rng.normal(size=(3, 2, 5, V_DIM)).astype(np.float32)  # [L, B, Q, C]
+    ca.text_embed = torch.from_numpy(text)
+    with torch.no_grad():
+        ref_logits = ca.forward_hs([torch.from_numpy(h) for h in hs]).numpy()
+
+    from richsem_tpu.models.dino import ClipAlignHead, DINOConfig
+
+    cfg = DINOConfig(
+        num_classes=NUM_C, hidden_dim=V_DIM, clip_embed_dim=L_DIM,
+        use_language=True,
+    )
+    head = ClipAlignHead(cfg, use_mlp=use_mlp)
+    params = {"params": _head_params_from_ref(ca, use_mlp)}
+    logit_scale = jnp.asarray(float(np.log(1 / 0.07)))
+    for layer in range(hs.shape[0]):
+        got = head.apply(
+            params, jnp.asarray(hs[layer]), jnp.asarray(text), logit_scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), ref_logits[layer], rtol=2e-4, atol=2e-4
+        )
+
+
+def test_distill_proj_parity():
+    """proj_dino_hs (clip_visual_proj, richsem.py:153-155) vs our bias-free
+    linear clip_visual_proj conversion convention (weightᵀ → kernel)."""
+    richsem_mod = _ensure_richsem_module()
+    ca = _make_ref_clipalign(richsem_mod, V_DIM, L_DIM, use_mlp_cls=False)
+    rng = np.random.default_rng(1)
+    hs = rng.normal(size=(2, 7, V_DIM)).astype(np.float32)
+    with torch.no_grad():
+        ref = ca.proj_dino_hs(torch.from_numpy(hs)).numpy()
+    kernel = jnp.asarray(ca.clip_visual_proj.weight.detach().numpy().T)
+    got = jnp.asarray(hs) @ kernel
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# 2) get_label_enc: DN label encoding through label_proj(text_embed)
+# ---------------------------------------------------------------------------
+
+
+def test_label_enc_parity():
+    richsem_mod = _ensure_richsem_module()
+    ca = _make_ref_clipalign(
+        richsem_mod, V_DIM, L_DIM, use_mlp_cls=False, use_label_enc=True
+    )
+    rng = np.random.default_rng(2)
+    text = rng.normal(size=(NUM_C, L_DIM)).astype(np.float32)
+    ca.text_embed = torch.from_numpy(text)
+    labels = rng.integers(0, NUM_C, (2, 9))
+    with torch.no_grad():
+        ref = ca.get_label_enc(torch.from_numpy(labels)).numpy()
+
+    import sys as _sys
+    import os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_cfg_dict
+    from richsem_tpu.models.dino import DINO, DINOConfig
+
+    cfg = DINOConfig.from_config(_tiny_cfg_dict(
+        num_classes=NUM_C, dn_labelbook_size=NUM_C, hidden_dim=V_DIM,
+        use_language=True, clip_embed_dim=L_DIM, clip_model="tiny",
+        enc_layers=1, dec_layers=1, num_queries=6,
+    ))
+    model = DINO(cfg)
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((1, 64, 64), bool),
+        text_embed=jnp.asarray(text), train=False,
+    )
+    params["params"]["label_proj"]["kernel"] = jnp.asarray(
+        ca.label_proj.weight.detach().numpy().T
+    )
+    got = model.apply(
+        params, jnp.asarray(labels, jnp.int32), jnp.asarray(text),
+        method=DINO.encode_dn_labels,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+    # −1 slots (inactive DN padding) encode to zero content
+    got_pad = model.apply(
+        params, jnp.asarray([[-1, 3]], jnp.int32), jnp.asarray(text),
+        method=DINO.encode_dn_labels,
+    )
+    assert float(jnp.abs(got_pad[0, 0]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# 3) RoI distill targets: _get_roi + attnpool + text logits
+# ---------------------------------------------------------------------------
+
+
+def test_roi_distill_targets_parity():
+    """clip_inference's target chain (richsem.py:536-552) with the reference
+    CLIP tower vs clip_teacher_box_targets with the converted tower.
+
+    Canvas 448² → 14×14 spatial map with grid 7, boxes sized so detectron2's
+    adaptive sampling grid is exactly 2 (our static sampling_ratio) — the
+    regime where the two protocols define the same taps."""
+    _ensure_richsem_module()
+    ref_clip_mod = sys.modules["clip.model"]
+    torch.manual_seed(3)
+    RES, EMB, W = 224, 64, 32
+    ref_clip = ref_clip_mod.CLIP(
+        embed_dim=EMB, image_resolution=RES, vision_layers=(1, 1, 1, 1),
+        vision_width=W, vision_patch_size=None, context_length=16,
+        vocab_size=128, transformer_width=64, transformer_heads=1,
+        transformer_layers=1,
+    ).eval()
+    with torch.no_grad():
+        for m in ref_clip.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.default_rng(3)
+    B, G, H, Wc = 2, 3, 448, 448
+    img = rng.normal(size=(B, H, Wc, 3)).astype(np.float32) * 0.2
+    # cxcywh normalized, sized 224–448 px → roi 7–14 feature px → grid 2
+    wh = rng.uniform(0.55, 0.95, (B, G, 2))
+    cxcy = 0.5 + (rng.uniform(-1, 1, (B, G, 2)) * (1 - wh) / 2)
+    boxes = np.concatenate([cxcy, wh], -1).astype(np.float32)
+    text = rng.normal(size=(NUM_C, EMB)).astype(np.float32)
+    logit_scale = float(ref_clip.logit_scale.detach())
+
+    # ---- reference chain (richsem.py:542-552) -------------------------
+    with torch.no_grad():
+        _, sp = ref_clip.encode_image(
+            torch.from_numpy(img.transpose(0, 3, 1, 2)), ret_sp=True
+        )
+        xyxy = np.concatenate(
+            [cxcy - wh / 2, cxcy + wh / 2], -1
+        ) * np.array([Wc, H, Wc, H])
+        bids = np.repeat(np.arange(B), G)[:, None]
+        rois = torch.from_numpy(
+            np.concatenate([bids, xyxy.reshape(B * G, 4)], -1).astype(
+                np.float32
+            )
+        )
+        grid = RES // 32
+        crops = _RefROIAlign(grid, 1 / 32, 0, True).forward(sp.float(), rois)
+        pooled = ref_clip.visual.attnpool(crops)
+        pooled = pooled / pooled.norm(dim=-1, keepdim=True)
+        t_n = torch.from_numpy(text)
+        t_n = t_n / t_n.norm(dim=-1, keepdim=True)
+        ref_logits = (pooled @ t_n.T) * float(np.exp(logit_scale))
+        ref_embed = pooled.reshape(B, G, EMB).numpy()
+        ref_logits = ref_logits.reshape(B, G, NUM_C).numpy()
+
+    # ---- ours: converted tower + clip_teacher_box_targets -------------
+    from tools.convert_clip import convert
+    from richsem_tpu.models.clip.model import CLIP, CLIPConfig
+    from richsem_tpu.models.clip_align import clip_teacher_box_targets
+
+    params = jax.tree.map(jnp.asarray, convert(ref_clip.state_dict()))
+    flax_clip = CLIP(CLIPConfig(
+        name="RN-tiny", embed_dim=EMB, vision_layers=(1, 1, 1, 1),
+        vision_width=W, vision_heads=W * 32 // 64, image_resolution=RES,
+        context_length=16, vocab_size=128, transformer_width=64,
+        transformer_heads=1, transformer_layers=1,
+    ))
+    # our clip_spatial_features denormalizes from ImageNet to CLIP stats the
+    # way the reference does before encode_image; hand it the raw map
+    # instead so both sides see the identical spatial tensor
+    got_embed, got_logits, got_valid = clip_teacher_box_targets(
+        flax_clip, params, jnp.asarray(img), jnp.asarray(boxes),
+        jnp.asarray([[H, Wc]] * B, jnp.float32), jnp.asarray(text),
+        jnp.asarray(logit_scale),
+        valid=jnp.ones((B, G), bool),
+        spatial=flax_clip.apply(
+            params, jnp.asarray(img), True, method=CLIP.encode_image
+        ),
+    )
+    assert bool(got_valid.all())
+    np.testing.assert_allclose(
+        np.asarray(got_embed), ref_embed, rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), ref_logits, rtol=5e-3, atol=5e-2
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4) CDN layout vs prepare_for_cdn under forced noise draws
+# ---------------------------------------------------------------------------
+
+
+def _run_ref_cdn(monkeypatch, targets, dn_number, label_noise_ratio,
+                 box_noise_scale, num_classes, num_queries, hidden_dim,
+                 label_table):
+    """prepare_for_cdn with .cuda() neutered and noise forced: rand_like →
+    0.25, randint_like(0,2) → 1 (sign +1), label flips → never (p=1)."""
+    dn_mod = sys.modules["models.richsem.dn_components"]
+    monkeypatch.setattr(
+        torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False
+    )
+    real_to = torch.Tensor.to
+    monkeypatch.setattr(
+        torch.Tensor, "to",
+        lambda self, *a, **k: self
+        if (a and a[0] == "cuda") or k.get("device") == "cuda"
+        else real_to(self, *a, **k),
+        raising=False,
+    )
+    monkeypatch.setattr(
+        torch, "rand_like", lambda t, **k: torch.full_like(t, 0.25)
+    )
+
+    def fixed_randint_like(t, low=0, high=1, **k):
+        return torch.full_like(t, 1.0)
+
+    monkeypatch.setattr(torch, "randint_like", fixed_randint_like)
+
+    class _Cuda:
+        def __getattr__(self, name):
+            raise AssertionError("no cuda in tests")
+
+    label_enc = lambda m: torch.nn.functional.embedding(
+        m, torch.from_numpy(label_table)
+    )
+    return dn_mod.prepare_for_cdn(
+        dn_args=(targets, dn_number, label_noise_ratio, box_noise_scale),
+        training=True, num_queries=num_queries, num_classes=num_classes,
+        hidden_dim=hidden_dim, label_enc=label_enc,
+        init_content_query=None, use_cdn=True, check_pos_dn=False,
+        add_gt=False,
+    )
+
+
+def test_cdn_layout_parity(monkeypatch):
+    """Same forced noise on both sides → exact query/mask agreement.
+
+    m = 4 gts max, dn_number = 52 → 2·52 ≥ 100 so the reference enters its
+    production budget branch (dn_components.py:34): 13 groups of 8 slots
+    (pos 4 | neg 4), pad 104 on both sides (static here, dynamic there)."""
+    _ensure_richsem_module()
+    NUMQ, NC, HID, DN = 10, 7, 16, 52
+    rng = np.random.default_rng(4)
+    label_table = rng.normal(size=(NC + 1, HID)).astype(np.float32)
+    counts = [4, 3]
+    targets = []
+    all_labels = np.full((2, 4), -1, np.int64)
+    all_boxes = np.zeros((2, 4, 4), np.float32)
+    for b, n in enumerate(counts):
+        lab = rng.integers(0, NC, n)
+        wh = rng.uniform(0.1, 0.3, (n, 2))
+        cxcy = rng.uniform(0.3, 0.7, (n, 2))
+        box = np.concatenate([cxcy, wh], -1).astype(np.float32)
+        all_labels[b, :n] = lab
+        all_boxes[b, :n] = box
+        targets.append({
+            "labels": torch.from_numpy(lab),
+            "boxes": torch.from_numpy(box),
+        })
+
+    ref_label_q, ref_box_q, ref_mask, ref_meta = _run_ref_cdn(
+        monkeypatch, targets, DN, 0.0, 1.0, NC, NUMQ, HID, label_table
+    )
+    assert ref_meta["pad_size"] == 2 * DN  # m=4 divides dn_number
+
+    # ---- ours, with the SAME forced draws ------------------------------
+    from richsem_tpu.models import dn as our_dn
+
+    real_uniform = jax.random.uniform
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), **kw: jnp.full(shape, 0.25, jnp.float32),
+    )
+    monkeypatch.setattr(
+        jax.random, "randint",
+        lambda key, shape, minval, maxval, **kw: jnp.full(shape, 1, jnp.int32),
+    )
+    try:
+        dn_labels, dn_boxes_unsig, attn_mask, meta = our_dn.prepare_cdn(
+            jnp.asarray(all_labels, jnp.int32), jnp.asarray(all_boxes),
+            jnp.asarray(all_labels >= 0), jax.random.PRNGKey(0),
+            dn_number=DN, label_noise_ratio=0.0, box_noise_scale=1.0,
+            num_classes=NC, num_queries=NUMQ,
+        )
+    finally:
+        monkeypatch.setattr(jax.random, "uniform", real_uniform)
+
+    # content embedding: ours encodes via the same table, −1 → zeros
+    emb = np.where(
+        np.asarray(dn_labels)[..., None] >= 0,
+        label_table[np.clip(np.asarray(dn_labels), 0, NC)],
+        0.0,
+    )
+    np.testing.assert_allclose(emb, ref_label_q.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dn_boxes_unsig), ref_box_q.numpy(), rtol=1e-4, atol=1e-4
+    )
+    # mask: reference True = BLOCKED [QT, QT]; ours True = ATTEND [B, QT, QT]
+    np.testing.assert_array_equal(
+        ~np.asarray(attn_mask[0]), ref_mask.numpy()
+    )
+    assert int(meta["num_groups"]) == ref_meta["num_dn_group"]
