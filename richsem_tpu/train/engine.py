@@ -72,8 +72,8 @@ def make_train_step(model, cfg, tx, clip_model=None):
     use_teacher = cfg.use_visual_distill and clip_model is not None
     use_clip_query = getattr(cfg, "use_clip_visual_query", False)
     distill_aux = getattr(cfg, "distill_aux_layers", False)
-    # the sown-intermediates collection costs ~10% step time (it blocks
-    # fusion across the mutable boundary) — opt in for validation runs
+    # scalar-per-layer sow; measured free at production shapes (bench r3) —
+    # on by default so kernel-truncation drift is always visible
     monitor_offsets = getattr(cfg, "monitor_msda_offsets", False)
     if distill_aux and getattr(cfg, "clip_distill_objective", "gt") != "gt":
         # per-aux-layer teacher RoI rescoring of predicted boxes is a 6×

@@ -7,6 +7,7 @@ timings use blocking scalar reads (axon tunnel gotcha).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -18,7 +19,7 @@ import numpy as np
 
 BATCH = 2
 H, W = 896, 1344
-MAX_GT = 60
+MAX_GT = int(os.environ.get("PROFILE_MAX_GT", "60"))
 
 
 def timeit(fn, *args, n=5, warmup=1):
@@ -56,7 +57,7 @@ def main():
             np.clip(rng_np.uniform(0.1, 0.7, (BATCH, MAX_GT, 4)), 0.02, 0.9),
             jnp.float32,
         ),
-        "valid": jnp.asarray(rng_np.uniform(size=(BATCH, MAX_GT)) > 0.5),
+        "valid": jnp.asarray(np.arange(MAX_GT)[None] < int(os.environ.get("PROFILE_VALID", "30"))).repeat(BATCH, 0),
         "size": jnp.asarray([[H, W]] * BATCH, jnp.int32),
         "is_extra": jnp.zeros((BATCH,), bool),
     }
