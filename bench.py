@@ -86,7 +86,9 @@ def main() -> None:
 
     # frozen CLIP-RN50 teacher + text bank (random weights; shapes/compute
     # identical to converted OpenAI weights)
-    clip_model = CLIP(CLIPConfig.rn50())
+    import dataclasses
+
+    clip_model = CLIP(dataclasses.replace(CLIPConfig.rn50(), dtype=jnp.bfloat16))
     clip_params = jax.jit(clip_model.init)(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 224, 224, 3), jnp.float32),

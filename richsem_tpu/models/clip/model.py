@@ -53,6 +53,10 @@ class CLIPConfig:
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    # vision-tower compute dtype (params stay f32; None = f32 — exact, the
+    # parity-test setting). The reference teacher runs fp16 on GPU
+    # (clip/clip.py model.half()), so bf16 here is the analogous fast mode.
+    dtype: Any = None
 
     @classmethod
     def rn50(cls) -> "CLIPConfig":
@@ -76,18 +80,21 @@ class ClipBottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.planes * 4
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(y))
         y = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
-                    name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(y))
         if self.stride > 1:
             y = nn.avg_pool(y, (self.stride,) * 2, (self.stride,) * 2)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
         y = FrozenBatchNorm(out_ch, name="bn3")(y)
         identity = x
         if self.downsample:
@@ -95,6 +102,7 @@ class ClipBottleneck(nn.Module):
                 identity = nn.avg_pool(identity, (self.stride,) * 2,
                                        (self.stride,) * 2)
             identity = nn.Conv(out_ch, (1, 1), use_bias=False,
+                               dtype=self.dtype,
                                name="downsample_conv")(identity)
             identity = FrozenBatchNorm(out_ch, name="downsample_bn")(identity)
         return nn.relu(y + identity)
@@ -112,6 +120,7 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     spacial_dim: int = 7
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -126,17 +135,24 @@ class AttentionPool2d(nn.Module):
             [tokens.mean(axis=1, keepdims=True), tokens], axis=1
         )
         tokens = tokens + pos[None, : h * w + 1]
-        q = nn.Dense(self.embed_dim, name="q_proj")(tokens[:, :1])
-        k = nn.Dense(self.embed_dim, name="k_proj")(tokens)
-        v = nn.Dense(self.embed_dim, name="v_proj")(tokens)
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(
+            tokens[:, :1]
+        )
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(tokens)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(tokens)
         hd = self.embed_dim // self.num_heads
         q = q.reshape(b, 1, self.num_heads, hd)
         k = k.reshape(b, -1, self.num_heads, hd)
         v = v.reshape(b, -1, self.num_heads, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(hd)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # softmax in f32 regardless of the tower dtype
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, 1, self.embed_dim)
-        return nn.Dense(self.output_dim, name="c_proj")(out[:, 0])
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(
+            out[:, 0]
+        )
 
 
 class ModifiedResNet(nn.Module):
@@ -149,7 +165,8 @@ class ModifiedResNet(nn.Module):
         for i, (ch, stride) in enumerate([(w // 2, 2), (w // 2, 1), (w, 1)]):
             stem.append(
                 nn.Conv(ch, (3, 3), strides=(stride, stride),
-                        padding=[(1, 1)] * 2, use_bias=False, name=f"conv{i+1}")
+                        padding=[(1, 1)] * 2, use_bias=False, dtype=c.dtype,
+                        name=f"conv{i+1}")
             )
             stem.append(FrozenBatchNorm(ch, name=f"bn{i+1}"))
         self.stem = stem
@@ -161,13 +178,14 @@ class ModifiedResNet(nn.Module):
                 blocks.append(
                     ClipBottleneck(
                         planes=p, stride=s if b == 0 else 1,
-                        downsample=(b == 0), name=f"layer{li+1}_block{b}",
+                        downsample=(b == 0), dtype=c.dtype,
+                        name=f"layer{li+1}_block{b}",
                     )
                 )
         self.blocks = blocks
         self.attnpool = AttentionPool2d(
             embed_dim=w * 32, num_heads=c.vision_heads,
-            output_dim=c.embed_dim,
+            output_dim=c.embed_dim, dtype=c.dtype,
             spacial_dim=c.image_resolution // 32, name="attnpool",
         )
 
@@ -190,6 +208,7 @@ class ModifiedResNet(nn.Module):
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, causal: bool = False) -> jnp.ndarray:
@@ -199,13 +218,14 @@ class ResidualAttentionBlock(nn.Module):
         if causal:
             mask = jnp.tril(jnp.ones((n, n), bool))[None, None]
         h = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.width, name="attn",
+            num_heads=self.heads, qkv_features=self.width, dtype=self.dtype,
+            name="attn",
         )(h, h, h, mask=mask)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        h = nn.Dense(self.width * 4, name="mlp_c_fc")(h)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_c_fc")(h)
         h = quick_gelu(h)
-        h = nn.Dense(self.width, name="mlp_c_proj")(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
         return x + h
 
 
@@ -218,7 +238,8 @@ class VisionTransformer(nn.Module):
         p = c.vision_patch_size
         width = c.vision_width
         b, h, w, _ = x.shape
-        y = nn.Conv(width, (p, p), strides=(p, p), use_bias=False, name="conv1")(x)
+        y = nn.Conv(width, (p, p), strides=(p, p), use_bias=False,
+                    dtype=c.dtype, name="conv1")(x)
         gh, gw = y.shape[1:3]
         y = y.reshape(b, gh * gw, width)
         cls = self.param("class_embedding", nn.initializers.normal(width**-0.5), (width,))
@@ -230,7 +251,9 @@ class VisionTransformer(nn.Module):
         y = y + _resize_pos_embed(pos, gh, gw)
         y = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(y)
         for i in range(c.vision_layers[0]):
-            y = ResidualAttentionBlock(width, c.vision_heads, name=f"block{i}")(y)
+            y = ResidualAttentionBlock(
+                width, c.vision_heads, dtype=c.dtype, name=f"block{i}"
+            )(y)
         proj = self.param("proj", nn.initializers.normal(width**-0.5),
                           (width, c.embed_dim))
         if ret_sp:

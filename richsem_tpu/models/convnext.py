@@ -10,7 +10,7 @@ depth, LN-normalized multi-scale outputs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,6 +25,7 @@ class ConvNeXtConfig:
     drop_path_rate: float = 0.4
     layer_scale_init: float = 1e-6
     out_indices: Tuple[int, ...] = (1, 2, 3)
+    dtype: Any = None  # conv/matmul compute dtype (params/norms stay f32)
 
     @classmethod
     def variant(cls, name: str) -> "ConvNeXtConfig":
@@ -49,17 +50,18 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     drop_path: float
     layer_scale_init: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.Conv(
             self.dim, (7, 7), padding=[(3, 3)] * 2,
-            feature_group_count=self.dim, name="dwconv",
+            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
         )(x)
         y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
-        y = nn.Dense(self.dim * 4, name="pwconv1")(y)
+        y = nn.Dense(self.dim * 4, dtype=self.dtype, name="pwconv1")(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim, name="pwconv2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
@@ -80,7 +82,8 @@ class ConvNeXt(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         c = self.cfg
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
-        y = nn.Conv(c.dims[0], (4, 4), strides=(4, 4), name="stem")(x)
+        y = nn.Conv(c.dims[0], (4, 4), strides=(4, 4), dtype=c.dtype,
+                    name="stem")(x)
         y = nn.LayerNorm(epsilon=1e-5, name="stem_norm")(y)
         outs = []
         blk = 0
@@ -88,11 +91,12 @@ class ConvNeXt(nn.Module):
             if stage > 0:
                 y = nn.LayerNorm(epsilon=1e-5, name=f"down_norm{stage}")(y)
                 y = nn.Conv(
-                    c.dims[stage], (2, 2), strides=(2, 2), name=f"down{stage}"
+                    c.dims[stage], (2, 2), strides=(2, 2), dtype=c.dtype,
+                    name=f"down{stage}"
                 )(y)
             for i in range(depth):
                 y = ConvNeXtBlock(
-                    c.dims[stage], dpr[blk], c.layer_scale_init,
+                    c.dims[stage], dpr[blk], c.layer_scale_init, dtype=c.dtype,
                     name=f"stage{stage}_block{i}",
                 )(y, deterministic)
                 blk += 1

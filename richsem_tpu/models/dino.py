@@ -301,35 +301,50 @@ class DINO(nn.Module):
             blocks = (3, 4, 6, 3) if c.backbone == "resnet50" else (3, 4, 23, 3)
             self.backbone = ResNet(
                 block_counts=blocks, return_strides=c.return_strides,
-                name="backbone",
+                dtype=c.compute_dtype, name="backbone",
             )
             n_backbone = len(c.return_strides)
         elif c.backbone.startswith("swin"):
+            import dataclasses
+
             from richsem_tpu.models.swin import SwinConfig, SwinTransformer
 
             self.backbone = SwinTransformer(
-                SwinConfig.variant(c.backbone), name="backbone"
+                dataclasses.replace(
+                    SwinConfig.variant(c.backbone), dtype=c.compute_dtype
+                ),
+                name="backbone",
             )
             n_backbone = 3
         elif c.backbone.startswith("convnext"):
+            import dataclasses
+
             from richsem_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
 
             self.backbone = ConvNeXt(
-                ConvNeXtConfig.variant(c.backbone), name="backbone"
+                dataclasses.replace(
+                    ConvNeXtConfig.variant(c.backbone), dtype=c.compute_dtype
+                ),
+                name="backbone",
             )
             n_backbone = 3
         elif c.backbone.startswith("focalnet"):
+            import dataclasses
+
             from richsem_tpu.models.focalnet import FocalNet, FocalNetConfig
 
             self.backbone = FocalNet(
-                FocalNetConfig.variant(c.backbone), name="backbone"
+                dataclasses.replace(
+                    FocalNetConfig.variant(c.backbone), dtype=c.compute_dtype
+                ),
+                name="backbone",
             )
             n_backbone = 3
         else:
             raise NotImplementedError(c.backbone)
         self.input_projs = [
             InputProj(c.hidden_dim, extra_level=(i >= n_backbone),
-                      name=f"input_proj{i}")
+                      dtype=c.compute_dtype, name=f"input_proj{i}")
             for i in range(c.num_feature_levels)
         ]
         self.level_embed = self.param(

@@ -11,7 +11,7 @@ outputs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,6 +27,7 @@ class FocalNetConfig:
     focal_window: int = 3
     drop_path_rate: float = 0.3
     out_indices: Tuple[int, ...] = (1, 2, 3)
+    dtype: Any = None  # conv/matmul compute dtype (params/norms stay f32)
 
     @classmethod
     def variant(cls, name: str) -> "FocalNetConfig":
@@ -50,11 +51,13 @@ class FocalModulation(nn.Module):
     dim: int
     focal_level: int
     focal_window: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [B, H, W, C]."""
-        f = nn.Dense(2 * self.dim + self.focal_level + 1, name="f")(x)
+        f = nn.Dense(2 * self.dim + self.focal_level + 1, dtype=self.dtype,
+                     name="f")(x)
         q = f[..., : self.dim]
         ctx = f[..., self.dim : 2 * self.dim]
         gates = f[..., 2 * self.dim :]
@@ -64,14 +67,15 @@ class FocalModulation(nn.Module):
             ctx = nn.Conv(
                 self.dim, (k, k), padding=[(k // 2, k // 2)] * 2,
                 feature_group_count=self.dim, use_bias=False,
-                name=f"focal_conv{lvl}",
+                dtype=self.dtype, name=f"focal_conv{lvl}",
             )(ctx)
             ctx = nn.gelu(ctx)
             ctx_all = ctx_all + ctx * gates[..., lvl : lvl + 1]
         ctx_global = nn.gelu(ctx.mean(axis=(1, 2), keepdims=True))
         ctx_all = ctx_all + ctx_global * gates[..., self.focal_level :]
-        modulator = nn.Conv(self.dim, (1, 1), name="h")(ctx_all)
-        return nn.Dense(self.dim, name="proj")(q * modulator)
+        modulator = nn.Conv(self.dim, (1, 1), dtype=self.dtype,
+                            name="h")(ctx_all)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(q * modulator)
 
 
 class FocalBlock(nn.Module):
@@ -79,18 +83,20 @@ class FocalBlock(nn.Module):
     focal_level: int
     focal_window: int
     drop_path: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = FocalModulation(
-            self.dim, self.focal_level, self.focal_window, name="modulation"
+            self.dim, self.focal_level, self.focal_window, dtype=self.dtype,
+            name="modulation"
         )(y)
         x = x + self._drop_path(y, deterministic)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        z = nn.Dense(self.dim * 4, name="mlp_fc1")(z)
+        z = nn.Dense(self.dim * 4, dtype=self.dtype, name="mlp_fc1")(z)
         z = nn.gelu(z)
-        z = nn.Dense(self.dim, name="mlp_fc2")(z)
+        z = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(z)
         return x + self._drop_path(z, deterministic)
 
     def _drop_path(self, y, deterministic):
@@ -111,19 +117,22 @@ class FocalNet(nn.Module):
         c = self.cfg
         dims = [c.embed_dim * 2**i for i in range(len(c.depths))]
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
-        y = nn.Conv(dims[0], (4, 4), strides=(4, 4), name="patch_embed")(x)
+        y = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=c.dtype,
+                    name="patch_embed")(x)
         y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
         outs = []
         blk = 0
         for stage, depth in enumerate(c.depths):
             if stage > 0:
                 y = nn.Conv(
-                    dims[stage], (2, 2), strides=(2, 2), name=f"down{stage}"
+                    dims[stage], (2, 2), strides=(2, 2), dtype=c.dtype,
+                    name=f"down{stage}"
                 )(y)
                 y = nn.LayerNorm(epsilon=1e-5, name=f"down_norm{stage}")(y)
             for i in range(depth):
                 y = FocalBlock(
                     dims[stage], c.focal_level, c.focal_window, dpr[blk],
+                    dtype=c.dtype,
                     name=f"stage{stage}_block{i}",
                 )(y, deterministic)
                 blk += 1

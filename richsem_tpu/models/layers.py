@@ -16,7 +16,7 @@ Parity targets:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -195,6 +195,7 @@ class InputProj(nn.Module):
 
     hidden_dim: int = 256
     extra_level: bool = False
+    dtype: Any = None  # conv compute dtype (params stay f32; norm is f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -205,6 +206,7 @@ class InputProj(nn.Module):
                 strides=(2, 2),
                 padding=[(1, 1), (1, 1)],
                 kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype,
                 name="conv",
             )(x)
         else:
@@ -212,6 +214,7 @@ class InputProj(nn.Module):
                 self.hidden_dim,
                 (1, 1),
                 kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype,
                 name="conv",
             )(x)
         return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="norm")(x)

@@ -17,7 +17,7 @@ backbone.py:20-56), returning C3/C4/C5 (strides 8/16/32, channels
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -29,6 +29,8 @@ class FrozenBatchNorm(nn.Module):
     All four tensors live in params (so checkpoints can load them) but the
     optimizer masks them out — they never train, matching the reference's
     FrozenBatchNorm2d semantics (backbone.py:20-56, eps folded the same way).
+    The folded scale/shift are computed in f32 then applied in the input's
+    dtype so a bf16 backbone stays bf16 through the norm.
     """
 
     features: int
@@ -41,7 +43,7 @@ class FrozenBatchNorm(nn.Module):
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
         w = scale / jnp.sqrt(var + self.eps)
-        return x * w + (bias - mean * w)
+        return x * w.astype(x.dtype) + (bias - mean * w).astype(x.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -51,12 +53,15 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dilation: int = 1
+    dtype: Any = None  # conv compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.planes * 4
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(
+            self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1"
+        )(x)
         y = FrozenBatchNorm(self.planes, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -66,11 +71,14 @@ class Bottleneck(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            dtype=self.dtype,
             name="conv2",
         )(y)
         y = FrozenBatchNorm(self.planes, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(
+            out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(y)
         y = FrozenBatchNorm(out_ch, name="bn3")(y)
         if self.downsample:
             identity = nn.Conv(
@@ -78,6 +86,7 @@ class Bottleneck(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             identity = FrozenBatchNorm(out_ch, name="downsample_bn")(identity)
@@ -94,12 +103,13 @@ class ResNet(nn.Module):
     block_counts: Sequence[int] = (3, 4, 6, 3)
     return_strides: Sequence[int] = (8, 16, 32)
     dilation_last: bool = False  # reference's `dilation` knob (stride-16 C5)
+    dtype: Any = None  # conv compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         y = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, name="stem_conv",
+            use_bias=False, dtype=self.dtype, name="stem_conv",
         )(x)
         y = FrozenBatchNorm(64, name="stem_bn")(y)
         y = nn.relu(y)
@@ -122,6 +132,7 @@ class ResNet(nn.Module):
                     stride=s if b == 0 else 1,
                     downsample=(b == 0),
                     dilation=d,
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(y)
             out_stride *= s

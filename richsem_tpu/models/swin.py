@@ -17,7 +17,7 @@ B (128, [2,2,18,2], [4,8,16,32]), L (192, [2,2,18,2], [6,12,24,48]).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -34,6 +34,7 @@ class SwinConfig:
     mlp_ratio: float = 4.0
     drop_path_rate: float = 0.2
     out_indices: Tuple[int, ...] = (1, 2, 3)
+    dtype: Any = None  # matmul compute dtype (params/norms stay f32)
 
     @classmethod
     def variant(cls, name: str) -> "SwinConfig":
@@ -69,6 +70,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask=None) -> jnp.ndarray:
@@ -76,7 +78,7 @@ class WindowAttention(nn.Module):
         ws = self.window_size
         n, l, c = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(n, l, 3, self.num_heads, hd), 3, axis=2)
         q = q[:, :, 0].transpose(0, 2, 1, 3)  # [n, H, l, hd]
         k = k[:, :, 0].transpose(0, 2, 1, 3)
@@ -96,9 +98,11 @@ class WindowAttention(nn.Module):
                 None, :, None
             ]
             attn = attn.reshape(n, self.num_heads, l, l)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            v.dtype
+        )
         out = (attn @ v).transpose(0, 2, 1, 3).reshape(n, l, c)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 def _window_partition(x, ws):
@@ -119,6 +123,7 @@ class SwinBlock(nn.Module):
     shift: int
     mlp_ratio: float
     drop_path: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -136,7 +141,7 @@ class SwinBlock(nn.Module):
             mask = self._shift_mask(hp, wp)
         wins = _window_partition(y, ws)
         wins = WindowAttention(
-            self.dim, self.num_heads, ws, name="attn"
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
         )(wins, mask)
         y = _window_reverse(wins, ws, b, hp, wp)
         if self.shift:
@@ -144,9 +149,11 @@ class SwinBlock(nn.Module):
         y = y[:, :h, :w]
         x = shortcut + self._drop_path(y, deterministic)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        z = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(z)
+        z = nn.Dense(
+            int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1"
+        )(z)
         z = nn.gelu(z)
-        z = nn.Dense(self.dim, name="mlp_fc2")(z)
+        z = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(z)
         return x + self._drop_path(z, deterministic)
 
     def _drop_path(self, y, deterministic):
@@ -179,7 +186,8 @@ class SwinTransformer(nn.Module):
         c = self.cfg
         dims = [c.embed_dim * 2**i for i in range(len(c.depths))]
         dpr = np.linspace(0, c.drop_path_rate, sum(c.depths)).tolist()
-        y = nn.Conv(c.embed_dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
+        y = nn.Conv(c.embed_dim, (4, 4), strides=(4, 4), dtype=c.dtype,
+                    name="patch_embed")(x)
         y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
         outs = []
         blk = 0
@@ -192,6 +200,7 @@ class SwinTransformer(nn.Module):
                     shift=0 if i % 2 == 0 else c.window_size // 2,
                     mlp_ratio=c.mlp_ratio,
                     drop_path=dpr[blk],
+                    dtype=c.dtype,
                     name=f"stage{stage}_block{i}",
                 )(y, deterministic)
                 blk += 1
@@ -211,5 +220,6 @@ class SwinTransformer(nn.Module):
                     b, h // 2, w // 2, 4 * ch
                 )
                 y = nn.LayerNorm(epsilon=1e-5, name=f"merge_norm{stage}")(y)
-                y = nn.Dense(2 * ch, use_bias=False, name=f"merge_reduce{stage}")(y)
+                y = nn.Dense(2 * ch, use_bias=False, dtype=c.dtype,
+                             name=f"merge_reduce{stage}")(y)
         return tuple(outs)

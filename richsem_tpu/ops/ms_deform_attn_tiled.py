@@ -204,7 +204,10 @@ def ms_deform_attn_tiled(
             ay = _hat_basis(y_rel, wy, compute_dtype) * awv[..., None]
             ax = _hat_basis(x_rel, wx, compute_dtype)
             # broadcast-multiply then P-sum on the VPU (tiny per-k matmuls
-            # are poison for the MXU)
+            # are poison for the MXU). NOTE: an unrolled P-loop accumulation
+            # wins 2× in isolation (tools/bench_basis.py) but LOSES in-model
+            # (bench 2.41 → 2.23) — XLA fuses the P-sum into the windows
+            # contraction here; don't re-try it.
             basis = (ay[..., :, None] * ax[..., None, :]).sum(-3)
             basis = basis.reshape(b, n_tiles, m, nq_t, wy * wx)
             bases.append(basis)

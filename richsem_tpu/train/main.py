@@ -414,6 +414,14 @@ def train_loop(cfg) -> Dict:
         clip_cfg = (
             CLIPConfig.rn50() if cfg.clip_model == "RN50" else CLIPConfig.vit_b32()
         )
+        # the teacher's vision tower follows the training compute dtype
+        # (the reference teacher runs fp16, clip/clip.py model.half())
+        if getattr(cfg, "compute_dtype", "float32") == "bfloat16":
+            import dataclasses as _dc
+
+            import jax.numpy as _jnp
+
+            clip_cfg = _dc.replace(clip_cfg, dtype=_jnp.bfloat16)
         clip_model = CLIP(clip_cfg)
         with open(cfg.clip_checkpoint_path, "rb") as f:
             clip_params = pickle.load(f)

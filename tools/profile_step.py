@@ -62,7 +62,9 @@ def main():
         "is_extra": jnp.zeros((BATCH,), bool),
     }
 
-    clip_model = CLIP(CLIPConfig.rn50())
+    import dataclasses
+
+    clip_model = CLIP(dataclasses.replace(CLIPConfig.rn50(), dtype=jnp.bfloat16))
     clip_params = jax.jit(clip_model.init)(
         jax.random.PRNGKey(2),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
