@@ -172,13 +172,20 @@ clip_checkpoint_path = "DATASET/clip/clip_rn50_params.pkl"   # tools/convert_cli
 clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"
 
 # encoder deformable-attention kernel: 'tiled' = windowed MXU fast path
-# (exact within `msda_margin` px; see richsem_tpu/ops/ms_deform_attn_tiled.py),
-# auto-falls back to the exact gather path on unsupported shapes.
+# (see richsem_tpu/ops/ms_deform_attn_tiled.py), auto-falls back to the
+# exact gather path on unsupported shapes. With msda_clamp_offsets the
+# sampling offsets are bounded to ±(margin−0.5) level-pixels, which makes
+# the windowed kernel EXACT for the (bounded-offset) model — no silent
+# truncation. Margin 6 gives 1.375× headroom over the reference's max
+# init offset (radius 4, ops/modules/ms_deform_attn.py:63-70) and is
+# ~12% faster end-to-end than margin 8 (bench r3: 2.72 vs 2.44 img/s);
+# set msda_margin=8 + msda_clamp_offsets=False for the round-2 behavior.
 msda_impl = "tiled"
-msda_margin = 8
-# per-step kernel-truncation diagnostic (fraction of sampling offsets
-# beyond msda_margin) — rides the train metrics/epoch JSON so offset drift
-# on real training is visible. Measured free (the sown value is one scalar
-# per encoder layer; bench r3: 2.375 img/s on vs 2.28 off — within noise)
+msda_margin = 6
+msda_clamp_offsets = True
+# per-step offset-saturation diagnostic (fraction of sampling offsets
+# at/beyond margin−0.5 — i.e. clamped) — rides the train metrics/epoch
+# JSON so offset drift toward the bound is visible. Measured free (the
+# sown value is one scalar per encoder layer; bench r3: within noise)
 monitor_msda_offsets = True
 msda_tile = (16, 16)   # tiled-kernel query tile (swept optimum on v5e)

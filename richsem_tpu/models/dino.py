@@ -106,6 +106,7 @@ class DINOConfig:
     dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep
     msda_margin: int = 8
     msda_tile: Tuple[int, int] = (16, 16)
+    msda_clamp_offsets: bool = True  # bound offsets to ±(margin−0.5); see layers.py
     masks: bool = False  # instance segmentation heads (DETRsegm parity)
     mask_head_type: str = "detr"  # 'detr' (DETRsegm) | 'cond_inst' (cond_inst.py)
 
@@ -193,6 +194,7 @@ class DINOConfig:
             dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
             msda_margin=getattr(cfg, "msda_margin", 8),
             msda_tile=tuple(getattr(cfg, "msda_tile", (16, 16))),
+            msda_clamp_offsets=getattr(cfg, "msda_clamp_offsets", True),
             masks=getattr(cfg, "masks", False),
             mask_head_type=getattr(cfg, "mask_head_type", "detr"),
         )
@@ -213,6 +215,7 @@ class DeformableEncoderLayer(nn.Module):
             n_heads=c.nheads, n_points=c.enc_n_points,
             compute_dtype=c.compute_dtype, impl=c.msda_impl,
             tiled_margin=c.msda_margin, tiled_tile=c.msda_tile,
+            clamp_offsets=c.msda_clamp_offsets,
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)

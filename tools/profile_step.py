@@ -146,6 +146,93 @@ def main():
     )(p)["params"]["stem_conv"]["kernel"])
     rec("backbone_fwd_bwd", timeit(bb_bwd, bb_params))
 
+    # ---- optimizer/criterion/CDN isolation ---------------------------------
+    if "--opt" in sys.argv:
+        from richsem_tpu.models.criterion import (
+            expand_dn_targets,
+            set_criterion,
+        )
+        from richsem_tpu.models.dn import prepare_cdn
+
+        tx = build_optimizer(params, cfg, steps_per_epoch=1000)
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        @jax.jit
+        def opt_only(grads, opt_state, params):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            import optax as _optax
+
+            new_params = _optax.apply_updates(params, updates)
+            return new_params, new_opt
+
+        rec("optimizer_update_only", timeit(opt_only, grads, opt_state, params))
+
+        @jax.jit
+        def cdn_only(rng):
+            return prepare_cdn(
+                batch["labels"], batch["boxes"], batch["valid"], rng,
+                dn_number=cfg.dn_number,
+                label_noise_ratio=cfg.dn_label_noise_ratio,
+                box_noise_scale=cfg.dn_box_noise_scale,
+                num_classes=cfg.num_classes,
+                num_queries=cfg.num_queries,
+                check_pos_dn=cfg.check_pos_dn,
+            )[0]
+
+        rec("prepare_cdn_only", timeit(cdn_only, jax.random.PRNGKey(0)))
+
+        # criterion fwd+bwd at flagship layout: 7 sets (6 dec + enc) + DN
+        B, Q, C = BATCH, cfg.num_queries, cfg.num_classes
+        rng2 = np.random.default_rng(1)
+        mk = lambda *s: jnp.asarray(rng2.normal(size=s), jnp.float32)
+        n_aux = cfg.dec_layers - 1
+
+        def build_outputs(scale):
+            out = {
+                "pred_logits": mk(B, Q, C) * scale,
+                "pred_boxes": jax.nn.sigmoid(mk(B, Q, 4)),
+            }
+            out["aux_outputs"] = [
+                {"pred_logits": mk(B, Q, C) * scale,
+                 "pred_boxes": jax.nn.sigmoid(mk(B, Q, 4))}
+                for _ in range(n_aux)
+            ]
+            out["interm_outputs"] = {
+                "pred_logits": mk(B, Q, C) * scale,
+                "pred_boxes": jax.nn.sigmoid(mk(B, Q, 4)),
+            }
+            return out
+
+        targets = {
+            "labels": batch["labels"],
+            "boxes": batch["boxes"],
+            "valid": batch["valid"],
+        }
+
+        @jax.jit
+        def crit_fwd_bwd(scale):
+            def f(scale):
+                outputs = build_outputs(scale)
+                losses = set_criterion(
+                    outputs, targets, jax.random.PRNGKey(0),
+                    num_classes=C,
+                    focal_alpha=cfg.focal_alpha,
+                    cost_class=cfg.set_cost_class,
+                    cost_bbox=cfg.set_cost_bbox,
+                    cost_giou=cfg.set_cost_giou,
+                    matcher_type=cfg.matcher_type,
+                    use_fed_loss=cfg.use_fed_loss,
+                    fed_num_sample_cats=cfg.fed_num_sample_cats,
+                )
+                return sum(
+                    v for k, v in losses.items()
+                    if k.startswith("loss_")
+                )
+            return jax.grad(f)(scale)
+
+        rec("criterion_fwdbwd_7sets", timeit(crit_fwd_bwd, jnp.float32(1.0)))
+
     # ---- single encoder msda layer at production shape ---------------------
     shapes = ((H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32), (H // 64, W // 64))
     S = sum(h * w for h, w in shapes)
