@@ -52,6 +52,8 @@ def main() -> None:
     cfg.compute_dtype = "bfloat16"
     if os.environ.get("BENCH_MONITOR"):
         cfg.monitor_msda_offsets = True
+    if os.environ.get("BENCH_IMPL"):
+        cfg.msda_impl = os.environ["BENCH_IMPL"]
     if os.environ.get("BENCH_TILE"):
         ty, tx = (int(x) for x in os.environ["BENCH_TILE"].split(","))
         cfg.msda_tile = (ty, tx)
@@ -111,7 +113,8 @@ def main() -> None:
     # remote array can return before the program finishes — a blocking
     # scalar read (float()) is the only honest completion barrier.
     state, metrics = train_step(state, batch, rng, text_embed, clip_params)
-    _ = float(metrics["loss"])
+    first_loss = float(metrics["loss"])
+    assert bool(metrics["finite"]), f"non-finite loss {first_loss}"
     n = 10
     t0 = time.time()
     for i in range(n):

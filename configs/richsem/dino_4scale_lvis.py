@@ -171,16 +171,18 @@ profile_dir = ""
 clip_checkpoint_path = "DATASET/clip/clip_rn50_params.pkl"   # tools/convert_clip.py
 clip_bpe_path = "DATASET/clip/bpe_simple_vocab_16e6.txt.gz"
 
-# encoder deformable-attention kernel: 'tiled' = windowed MXU fast path
-# (see richsem_tpu/ops/ms_deform_attn_tiled.py), auto-falls back to the
-# exact gather path on unsupported shapes. With msda_clamp_offsets the
-# sampling offsets are bounded to ±(margin−0.5) level-pixels, which makes
-# the windowed kernel EXACT for the (bounded-offset) model — no silent
-# truncation. Margin 6 gives 1.375× headroom over the reference's max
-# init offset (radius 4, ops/modules/ms_deform_attn.py:63-70) and is
-# ~12% faster end-to-end than margin 8 (bench r3: 2.72 vs 2.44 img/s);
-# set msda_margin=8 + msda_clamp_offsets=False for the round-2 behavior.
-msda_impl = "tiled"
+# encoder deformable-attention kernel: 'pallas2' = fused windowed Pallas
+# kernel (richsem_tpu/ops/ms_deform_attn_pallas2.py; 2.0× the XLA 'tiled'
+# composition on v5e: 35.2 vs 70.0 ms/layer fwd+bwd at production shapes),
+# auto-falls back to the exact gather path on unsupported shapes. With
+# msda_clamp_offsets the sampling offsets are bounded to ±(margin−0.5)
+# level-pixels, which makes the windowed kernels EXACT for the
+# (bounded-offset) model — no silent truncation. Margin 6 gives 1.375×
+# headroom over the reference's max init offset (radius 4,
+# ops/modules/ms_deform_attn.py:63-70) and is ~12% faster end-to-end than
+# margin 8 (bench r3: 2.72 vs 2.44 img/s); set msda_impl='tiled'
+# msda_margin=8 + msda_clamp_offsets=False for the round-2 behavior.
+msda_impl = "pallas2"
 msda_margin = 6
 msda_clamp_offsets = True
 # per-step offset-saturation diagnostic (fraction of sampling offsets

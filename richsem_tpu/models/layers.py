@@ -138,10 +138,15 @@ class MSDeformAttn(nn.Module):
         attn = nn.softmax(attn, axis=-1).reshape(b, q, m, l, p)
 
         use_tiled = False
-        if self.impl in ("tiled", "pallas", "pallas2") and q == s:
+        impl = self.impl
+        if impl in ("tiled", "pallas", "pallas2") and q == s:
             from richsem_tpu.ops.ms_deform_attn_tiled import tiled_supported
 
             use_tiled = tiled_supported(spatial_shapes, self.tiled_tile)
+        if impl in ("pallas", "pallas2") and jax.default_backend() != "tpu":
+            # the fused kernels lower through Mosaic (TPU-only); the XLA
+            # tiled composition has identical (clamped-window) semantics
+            impl = "tiled"
         if use_tiled:
             # Saturation monitor (VERDICT r1 weak #2): fraction of offsets
             # at/beyond the window margin. With clamp_offsets those taps are
@@ -162,7 +167,7 @@ class MSDeformAttn(nn.Module):
         loc = compute_sampling_locations(
             reference_points.astype(jnp.float32), offsets, spatial_shapes, p
         )
-        if use_tiled and self.impl == "pallas2":
+        if use_tiled and impl == "pallas2":
             from richsem_tpu.ops.ms_deform_attn_pallas2 import (
                 ms_deform_attn_pallas2,
             )
@@ -171,7 +176,7 @@ class MSDeformAttn(nn.Module):
                 value, spatial_shapes, loc, attn, tile=self.tiled_tile,
                 margin=self.tiled_margin,
             )
-        elif use_tiled and self.impl == "pallas":
+        elif use_tiled and impl == "pallas":
             from richsem_tpu.ops.ms_deform_attn_pallas import (
                 ms_deform_attn_tiled_pallas,
             )
@@ -196,7 +201,7 @@ class MSDeformAttn(nn.Module):
                 )
             )
             out = core(value, loc, attn)
-        elif self.impl == "sep":
+        elif impl == "sep":
             # decoder fast path: separable hat-basis matmuls (exact; rides
             # the MXU instead of issuing Q·M·L·P gather rows — measured
             # 8.2 ms vs 25 ms fwd+bwd per layer at production shapes)

@@ -248,8 +248,11 @@ def _split_grads(dq, spatial_shapes, tiles, ty, tx, n_lvl, p, per_lane):
 # kernels
 # ---------------------------------------------------------------------------
 def _iota_col(n):
-    """grid coordinates as [1, n, 1] f32 (sublane axis)."""
-    return jax.lax.broadcasted_iota(jnp.float32, (1, n, 1), 1)
+    """grid coordinates as [1, n, 1] f32 (sublane axis).
+
+    Mosaic requires integer iota; build int32 then convert.
+    """
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1).astype(jnp.float32)
 
 
 def _fwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
