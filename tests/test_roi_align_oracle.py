@@ -1,0 +1,88 @@
+"""Randomized RoIAlign agreement vs a no-cleverness scalar oracle.
+
+The oracle re-implements the detectron2 ``ROIAlign(aligned=True)`` protocol
+(the reference uses it for the CLIP-teacher RoI crops,
+models/richsem/richsem.py:25, 865-879) with plain Python loops straight
+from the definition: per output bin, average an ``n × n`` grid of bilinear
+samples at bin-interior fractions, pixel-center aligned (−0.5 shift),
+out-of-bounds taps contributing zero. Random images, boxes (including
+degenerate, inverted-safe, and fully out-of-bounds ones), scales, output
+sizes, and sampling ratios must agree with the vectorized op to 1e-5.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from richsem_tpu.ops.roi_align import roi_align
+
+
+def _bilinear_scalar(img, y, x):
+    """img [H, W, C]; one bilinear sample, zero outside bounds."""
+    h, w, _ = img.shape
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    dy, dx = y - y0, x - x0
+    acc = 0.0
+    for cy, wy in ((y0, 1 - dy), (y0 + 1, dy)):
+        for cx, wx in ((x0, 1 - dx), (x0 + 1, dx)):
+            if 0 <= cy < h and 0 <= cx < w:
+                acc = acc + img[cy, cx] * (wy * wx)
+            # else: zero tap
+    return acc
+
+
+def _roi_align_oracle(img, box, output_size, spatial_scale, sampling_ratio):
+    """img [H, W, C]; box xyxy image coords → [o, o, C] f64."""
+    o, n = output_size, sampling_ratio
+    x1, y1, x2, y2 = (float(v) * spatial_scale for v in box)
+    start_x, start_y = x1 - 0.5, y1 - 0.5
+    bin_w, bin_h = (x2 - x1) / o, (y2 - y1) / o
+    out = np.zeros((o, o, img.shape[-1]))
+    for i in range(o):
+        for j in range(o):
+            s = 0.0
+            for u in range(n):
+                for v in range(n):
+                    yy = start_y + bin_h * (i + (u + 0.5) / n)
+                    xx = start_x + bin_w * (j + (v + 0.5) / n)
+                    s = s + _bilinear_scalar(img, yy, xx)
+            out[i, j] = s / (n * n)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_roi_align_matches_scalar_oracle(seed):
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(5, 24))
+    w = int(rng.integers(5, 24))
+    c = int(rng.integers(1, 4))
+    r = 5
+    o = int(rng.integers(2, 6))
+    n = int(rng.integers(1, 4))
+    scale = float(rng.choice([1.0, 0.5, 0.25, 1.0 / 32.0]))
+
+    img = rng.normal(size=(h, w, c)).astype(np.float32)
+    # boxes in image coords (pre-scale): mostly inside, some tiny, one
+    # fully out of bounds, one spanning the whole map
+    hi = np.array([w, h, w, h], np.float32) / scale
+    boxes = np.sort(
+        rng.uniform(-0.2, 1.2, (r, 2, 2)).astype(np.float32), axis=1
+    ).transpose(0, 2, 1).reshape(r, 4)[:, [0, 2, 1, 3]] * hi
+    boxes[1] = [hi[0] * 2, hi[1] * 2, hi[0] * 2 + 5, hi[1] * 2 + 5]  # OOB
+    boxes[2] = [0, 0, hi[0], hi[1]]  # whole map
+    mid = rng.uniform(0.3, 0.7, 2) * hi[:2]
+    boxes[3] = [mid[0], mid[1], mid[0] + 1e-3, mid[1] + 1e-3]  # degenerate
+
+    got = np.asarray(
+        roi_align(
+            jnp.asarray(img[None]), jnp.asarray(boxes[None]),
+            output_size=o, spatial_scale=scale, sampling_ratio=n,
+        ),
+        np.float64,
+    )[0]
+    for k in range(r):
+        want = _roi_align_oracle(img.astype(np.float64), boxes[k], o, scale, n)
+        np.testing.assert_allclose(
+            got[k], want, rtol=1e-5, atol=1e-5,
+            err_msg=f"seed={seed} box {k} {boxes[k]}",
+        )

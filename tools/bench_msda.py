@@ -38,9 +38,14 @@ def timeit_chain(fn, state, n=10, warmup=1):
 def main():
     args = sys.argv[1:]
     margin = MARGIN
+    tile = TILE
     if "--margin" in args:
         i = args.index("--margin")
         margin = int(args[i + 1])
+        del args[i : i + 2]
+    if "--tile" in args:
+        i = args.index("--tile")
+        tile = tuple(int(x) for x in args[i + 1].split(","))
         del args[i : i + 2]
     impls = args or ["tiled", "pallas2"]
 
@@ -73,7 +78,7 @@ def main():
 
             core = jax.checkpoint(
                 lambda v, l, a: ms_deform_attn_tiled(
-                    v, shapes, l, a, tile=TILE, margin=margin
+                    v, shapes, l, a, tile=tile, margin=margin
                 )
             )
             return core
@@ -83,14 +88,14 @@ def main():
             )
 
             return lambda v, l, a: ms_deform_attn_tiled_pallas(
-                v, shapes, l, a, tile=TILE, margin=margin
+                v, shapes, l, a, tile=tile, margin=margin
             )
         from richsem_tpu.ops.ms_deform_attn_pallas2 import (
             ms_deform_attn_pallas2,
         )
 
         return lambda v, l, a: ms_deform_attn_pallas2(
-            v, shapes, l, a, tile=TILE, margin=margin
+            v, shapes, l, a, tile=tile, margin=margin
         )
 
     ref_out = None
@@ -99,7 +104,7 @@ def main():
         fwd = jax.jit(lambda v: fn(v, loc, aw).astype(jnp.float32).sum())
         try:
             dt = timeit_chain(lambda _: fwd(val), val)
-            print(f"{impl:8s} margin={margin} fwd:     {dt*1e3:7.2f} ms/layer")
+            print(f"{impl:8s} tile={tile} margin={margin} fwd:     {dt*1e3:7.2f} ms/layer")
         except Exception as e:  # noqa: BLE001
             print(f"{impl:8s} fwd FAILED {type(e).__name__}: {str(e)[:200]}")
             continue
@@ -115,7 +120,7 @@ def main():
         )
         try:
             dt = timeit_chain(lambda _: bwd(val), val)
-            print(f"{impl:8s} margin={margin} fwd+bwd: {dt*1e3:7.2f} ms/layer")
+            print(f"{impl:8s} tile={tile} margin={margin} fwd+bwd: {dt*1e3:7.2f} ms/layer")
         except Exception as e:  # noqa: BLE001
             print(f"{impl:8s} bwd FAILED {type(e).__name__}: {str(e)[:200]}")
 

@@ -22,14 +22,18 @@ H, W = 896, 1344
 MAX_GT = int(os.environ.get("PROFILE_MAX_GT", "60"))
 
 
-def timeit(fn, *args, n=5, warmup=1):
+def timeit(fn, *args, n=20, warmup=1):
+    """Dispatch ``n`` async calls, block ONCE at the end: over the axon
+    tunnel a blocking read costs ~38 ms RTT, so per-iteration blocking
+    (the round-2 version) floors every measurement at the RTT. Dispatch
+    is ~1.7 ms/program and overlaps device compute."""
     for _ in range(warmup):
         out = fn(*args)
     _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-        _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
     return (time.time() - t0) / n
 
 
@@ -71,8 +75,15 @@ def main():
         jnp.zeros((1, 77), jnp.int32),
     )
     text_embed = jnp.asarray(rng_np.normal(size=(cfg.num_classes, 1024)), jnp.float32)
-    params = jax.jit(model.init, static_argnames=("train",))(
-        jax.random.PRNGKey(0), images, pad_mask, text_embed=text_embed, train=False,
+    # shapes-only init: component timings don't depend on param values and
+    # the flagship init compile costs minutes over the axon tunnel
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, images, pad_mask, text_embed=text_embed,
+                             train=False),
+        jax.random.PRNGKey(0),
+    )
+    params = jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes
     )
 
     report = {}
@@ -80,6 +91,17 @@ def main():
     def rec(name, val):
         report[name] = val
         print(f"{name:36s} {val*1e3:9.1f} ms", flush=True)
+
+    # --sections model,teacher,backbone,opt,msda (default: all)
+    sections = {"model", "teacher", "backbone", "msda"}
+    for i, a in enumerate(sys.argv):
+        if a == "--sections":
+            sections = set(sys.argv[i + 1].split(","))
+    if "--opt" in sys.argv:
+        sections.add("opt")
+
+    def want(name):
+        return name in sections
 
     if "--full" in sys.argv:
         tx = build_optimizer(params, cfg, steps_per_epoch=1000)
@@ -99,55 +121,58 @@ def main():
             _ = float(l)
         rec("full_step", (time.time() - t0) / n)
 
-    # ---- model fwd only (no teacher) --------------------------------------
-    fwd = jax.jit(lambda p: model.apply(
-        p, images, pad_mask, text_embed=text_embed, train=False
-    )["pred_logits"])
-    rec("model_fwd", timeit(fwd, params))
+    if want("model"):
+        # ---- model fwd only (no teacher) -----------------------------------
+        fwd = jax.jit(lambda p: model.apply(
+            p, images, pad_mask, text_embed=text_embed, train=False
+        )["pred_logits"])
+        rec("model_fwd", timeit(fwd, params))
 
-    # ---- model fwd+bwd (loss = sum of outputs; no teacher/criterion) ------
-    def loss_fn(p):
-        o = model.apply(p, images, pad_mask, text_embed=text_embed, train=False)
-        return (
-            o["pred_logits"].astype(jnp.float32).sum()
-            + o["pred_boxes"].sum()
-            + sum(a["pred_logits"].astype(jnp.float32).sum() for a in o["aux_outputs"])
+        # ---- model fwd+bwd (loss = sum of outputs; no teacher/criterion) --
+        def loss_fn(p):
+            o = model.apply(p, images, pad_mask, text_embed=text_embed, train=False)
+            return (
+                o["pred_logits"].astype(jnp.float32).sum()
+                + o["pred_boxes"].sum()
+                + sum(a["pred_logits"].astype(jnp.float32).sum() for a in o["aux_outputs"])
+            )
+        bwd = jax.jit(lambda p: jax.grad(loss_fn)(p)["params"]["level_embed"])
+        rec("model_fwd_bwd", timeit(bwd, params))
+
+    if want("teacher"):
+        # ---- teacher: whole-image spatial fwd ------------------------------
+        from richsem_tpu.models.clip_align import (
+            clip_spatial_features,
+            clip_teacher_box_targets,
         )
-    bwd = jax.jit(lambda p: jax.grad(loss_fn)(p)["params"]["level_embed"])
-    rec("model_fwd_bwd", timeit(bwd, params))
 
-    # ---- teacher: whole-image spatial fwd ---------------------------------
-    from richsem_tpu.models.clip_align import (
-        clip_spatial_features,
-        clip_teacher_box_targets,
-    )
+        teacher_sp = jax.jit(lambda: clip_spatial_features(clip_model, clip_params, images))
+        rec("teacher_spatial", timeit(teacher_sp))
 
-    teacher_sp = jax.jit(lambda: clip_spatial_features(clip_model, clip_params, images))
-    rec("teacher_spatial", timeit(teacher_sp))
+        # ---- teacher: spatial + RoI attnpool targets -----------------------
+        teacher_full = jax.jit(lambda: clip_teacher_box_targets(
+            clip_model, clip_params, images, batch["boxes"],
+            batch["size"].astype(jnp.float32), text_embed,
+            clip_params["params"]["logit_scale"], valid=batch["valid"],
+            max_boxes=cfg.distill_max_boxes,
+        )[1])
+        rec("teacher_spatial_plus_roi", timeit(teacher_full))
 
-    # ---- teacher: spatial + RoI attnpool targets --------------------------
-    teacher_full = jax.jit(lambda: clip_teacher_box_targets(
-        clip_model, clip_params, images, batch["boxes"],
-        batch["size"].astype(jnp.float32), text_embed,
-        clip_params["params"]["logit_scale"], valid=batch["valid"],
-        max_boxes=cfg.distill_max_boxes,
-    )[1])
-    rec("teacher_spatial_plus_roi", timeit(teacher_full))
+    if want("backbone"):
+        # ---- backbone fwd / fwd+bwd ----------------------------------------
+        from richsem_tpu.models.resnet import ResNet
 
-    # ---- backbone fwd / fwd+bwd -------------------------------------------
-    from richsem_tpu.models.resnet import ResNet
-
-    bb = ResNet(block_counts=(3, 4, 6, 3), return_strides=(8, 16, 32))
-    bb_params = jax.jit(bb.init)(jax.random.PRNGKey(0), images)
-    bb_fwd = jax.jit(lambda p: bb.apply(p, images.astype(jnp.bfloat16))[0])
-    rec("backbone_fwd", timeit(bb_fwd, bb_params))
-    bb_bwd = jax.jit(lambda p: jax.grad(
-        lambda q: sum(x.astype(jnp.float32).sum() for x in bb.apply(q, images.astype(jnp.bfloat16)))
-    )(p)["params"]["stem_conv"]["kernel"])
-    rec("backbone_fwd_bwd", timeit(bb_bwd, bb_params))
+        bb = ResNet(block_counts=(3, 4, 6, 3), return_strides=(8, 16, 32))
+        bb_params = jax.jit(bb.init)(jax.random.PRNGKey(0), images)
+        bb_fwd = jax.jit(lambda p: bb.apply(p, images.astype(jnp.bfloat16))[0])
+        rec("backbone_fwd", timeit(bb_fwd, bb_params))
+        bb_bwd = jax.jit(lambda p: jax.grad(
+            lambda q: sum(x.astype(jnp.float32).sum() for x in bb.apply(q, images.astype(jnp.bfloat16)))
+        )(p)["params"]["stem_conv"]["kernel"])
+        rec("backbone_fwd_bwd", timeit(bb_bwd, bb_params))
 
     # ---- optimizer/criterion/CDN isolation ---------------------------------
-    if "--opt" in sys.argv:
+    if want("opt"):
         from richsem_tpu.models.criterion import (
             expand_dn_targets,
             set_criterion,
@@ -232,6 +257,11 @@ def main():
             return jax.grad(f)(scale)
 
         rec("criterion_fwdbwd_7sets", timeit(crit_fwd_bwd, jnp.float32(1.0)))
+
+    if not want("msda"):
+        if "full_step" in report:
+            print(f"\nimg/s/chip: {BATCH/report['full_step']:.2f}")
+        return
 
     # ---- single encoder msda layer at production shape ---------------------
     shapes = ((H // 8, W // 8), (H // 16, W // 16), (H // 32, W // 32), (H // 64, W // 64))
