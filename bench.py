@@ -61,7 +61,17 @@ def main() -> None:
         cfg.msda_margin = int(os.environ["BENCH_MARGIN"])
     # layer-level remat is net-negative now that the msda core checkpoints
     # itself (residuals = value/loc/attn, basis recomputed in backward)
-    cfg.use_checkpoint = False
+    cfg.use_checkpoint = os.environ.get("BENCH_REMAT", "") == "1"
+    # larger batches only fit with the remat knobs on (see dino.py — they
+    # fit bs4 but measured 1.9 img/s vs 3.7 at bs2: v5e HBM-wall scheduling)
+    cfg.backbone_remat = BATCH >= 3 or os.environ.get("BENCH_BB_REMAT") == "1"
+    cfg.enc_selective_remat = BATCH >= 3 or os.environ.get("BENCH_SEL_REMAT") == "1"
+    # layer-count ablations: step-time slope vs layer count gives the TRUE
+    # in-model per-layer cost (microbenchmarks miss scheduling interactions)
+    if os.environ.get("BENCH_ENC_LAYERS"):
+        cfg.enc_layers = int(os.environ["BENCH_ENC_LAYERS"])
+    if os.environ.get("BENCH_DEC_LAYERS"):
+        cfg.dec_layers = int(os.environ["BENCH_DEC_LAYERS"])
     model = DINO(DINOConfig.from_config(cfg))
 
     h, w = CANVAS
@@ -118,8 +128,10 @@ def main() -> None:
     n = 10
     t0 = time.time()
     for i in range(n):
+        # the step folds state.step into the rng in-graph — no per-step
+        # host-side fold_in program (one device program per step, not two)
         state, metrics = train_step(
-            state, batch, jax.random.fold_in(rng, i), text_embed, clip_params
+            state, batch, rng, text_embed, clip_params
         )
     _ = float(metrics["loss"])
     dt = (time.time() - t0) / n
@@ -128,7 +140,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train images/sec/chip (RichSem-R50 4-scale LVIS flagship: CLIP teacher + distill, bs2, 896x1344, bf16)",
+                "metric": f"train images/sec/chip (RichSem-R50 4-scale LVIS flagship: CLIP teacher + distill, bs{BATCH}, 896x1344, bf16)",
                 "value": round(ips, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / A100_IMAGES_PER_SEC, 3),

@@ -102,6 +102,15 @@ class DINOConfig:
     # precision / memory / kernels
     compute_dtype: Any = jnp.float32
     use_checkpoint: bool = False  # remat encoder/decoder layers
+    # selective encoder remat: persist only the msda kernel output per
+    # layer, recompute the cheap value/offset/attention projections in the
+    # backward (see setup). Frees ~2 GB at bs2 for ~25 ms/step; off by
+    # default on v5e (bs2 fits without it; bs4 fits WITH it + backbone_remat
+    # but measured 1.9 img/s vs 3.7 at bs2 — the scheduler pays far more
+    # than the batch amortizes at the HBM wall). Turn both on for larger
+    # batches on bigger-HBM parts.
+    enc_selective_remat: bool = False
+    backbone_remat: bool = False  # recompute backbone activations in bwd
     msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
     dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep
     msda_margin: int = 8
@@ -190,6 +199,8 @@ class DINOConfig:
             dn_labelbook_reuse_cls=cfg.dn_labelbook_reuse_cls,
             compute_dtype=compute_dtype,
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
+            enc_selective_remat=getattr(cfg, "enc_selective_remat", False),
+            backbone_remat=getattr(cfg, "backbone_remat", False),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
             msda_margin=getattr(cfg, "msda_margin", 8),
@@ -302,7 +313,12 @@ class DINO(nn.Module):
         c = self.cfg
         if c.backbone in ("resnet50", "resnet101"):
             blocks = (3, 4, 6, 3) if c.backbone == "resnet50" else (3, 4, 23, 3)
-            self.backbone = ResNet(
+            # backbone remat: recompute the ~1.2 GB of conv activations in
+            # the backward instead of persisting them — one extra backbone
+            # forward (~7 ms at bs2) buys the HBM headroom larger batches
+            # need (the frozen-BN ResNet is pure convs; XLA refuses nothing)
+            bb_cls = nn.remat(ResNet) if c.backbone_remat else ResNet
+            self.backbone = bb_cls(
                 block_counts=blocks, return_strides=c.return_strides,
                 dtype=c.compute_dtype, name="backbone",
             )
@@ -355,6 +371,23 @@ class DINO(nn.Module):
             (c.num_feature_levels, c.hidden_dim),
         )
         enc_cls, dec_cls = DeformableEncoderLayer, DeformableDecoderLayer
+        if not c.use_checkpoint and c.enc_selective_remat:
+            # Selective remat (default): per encoder layer, persist ONLY the
+            # msda kernel output (named in MSDeformAttn) + the layer inputs;
+            # the backward recomputes the value/offset/attention projections,
+            # softmax, sampling grid and the FFN mid activations (<1 ms of
+            # MXU work) instead of holding ~700 MB/layer of residuals. The
+            # kernel fwd itself is NOT re-run: its output is the named save.
+            # This is what lets bs4 fit in v5e HBM (bs3+ OOMs without it).
+            enc_cls = nn.remat(
+                DeformableEncoderLayer, static_argnums=(4, 6),
+                # always called under jit, where the CSE barrier is
+                # unnecessary and blocks cross-layer fusion
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "msda_out"
+                ),
+            )
         if c.use_checkpoint:
             # rematerialize per layer: trade recompute for HBM (the
             # reference's `use_checkpoint` knob, backbone.py:195).

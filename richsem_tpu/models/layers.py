@@ -210,6 +210,14 @@ class MSDeformAttn(nn.Module):
             out = ms_deform_attn_sep(value, spatial_shapes, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        # Named so the encoder's selective remat policy
+        # (save_only_these_names("msda_out"), dino.py) keeps the expensive
+        # kernel output while recomputing the cheap value/offset/attention
+        # projections in the backward — the ~350 MB/layer (value, loc, attn)
+        # VJP residual trio never persists across the forward pass.
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "msda_out")
         return nn.Dense(
             self.d_model,
             kernel_init=nn.initializers.xavier_uniform(),

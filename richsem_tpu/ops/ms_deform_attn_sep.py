@@ -119,6 +119,24 @@ def _bmm(a, b_, contract, batch=((0,), (0,))):
 
 _VJP_CACHE = {}
 
+# Per-chunk budget for the packed intermediate R[B·M, rows, Hv·D]. At the
+# shipped bs2 decoder shapes R is ~480 MB — one chunk, identical program to
+# the unchunked version. Larger batches split the Q·P rows with a lax.scan
+# so the decoder's fwd+bwd temps stay bounded instead of scaling linearly
+# with batch (bs4 unchunked OOMs the chip: seven ~1 GB R buffers live across
+# the backward; a plain unrolled chunk loop doesn't help — XLA interleaves
+# the chunks and keeps them all live — the scan's sequential buffer reuse
+# is the point).
+_CHUNK_BUDGET_BYTES = 512 * 1024 * 1024
+
+
+def _num_chunks(bm: int, qp: int, hd_max: int, itemsize: int) -> int:
+    bytes_full = bm * qp * hd_max * itemsize
+    nch = min(qp, max(1, -(-bytes_full // _CHUNK_BUDGET_BYTES)))
+    while qp % nch:  # need an even row split; qp = Q·P has small factors
+        nch += 1
+    return nch
+
 
 def _core(spatial_shapes: Tuple[Tuple[int, int], ...]):
     if spatial_shapes in _VJP_CACHE:
@@ -131,21 +149,53 @@ def _core(spatial_shapes: Tuple[Tuple[int, int], ...]):
         awv = aw[:, :, :, v].astype(jnp.float32)  # [B, Q, M, P]
         return awv.transpose(0, 2, 1, 3).reshape(b * m, q * p)
 
-    def _fwd_impl(value, loc, aw):
-        b, s, m, d = value.shape
-        q, p = loc.shape[1], loc.shape[4]
-        cdt = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
-        imgs = _level_views_t(value, spatial_shapes)
-        out = jnp.zeros((b * m, q * p, d), jnp.float32)
+    def _fwd_chunk(imgs, ys, xs, awrs_c, d, cdt):
+        """One row-chunk: per-level [BM, ck] coords/weights → [BM, ck, D]."""
+        bm, ck = ys[0].shape
+        out = jnp.zeros((bm, ck, d), jnp.float32)
         for v, (h, w) in enumerate(spatial_shapes):
-            y, x = _geom(loc, spatial_shapes, v)
-            hxw = _hats(x, w, cdt) * _aw_rows(aw, v)[..., None].astype(cdt)
-            r = _bmm(hxw, imgs[v].astype(cdt), ((2,), (1,))).astype(cdt)
-            hy_rep = _hats_rep(y, h, d, cdt)
+            hxw = _hats(xs[v], w, cdt) * awrs_c[v][..., None].astype(cdt)
+            r = _bmm(hxw, imgs[v], ((2,), (1,))).astype(cdt)
+            hy_rep = _hats_rep(ys[v], h, d, cdt)
             out = out + _bmm(
                 (r * hy_rep).astype(cdt), _red(h, d, cdt), ((2,), (0,)),
                 batch=((), ()),
             )
+        return out
+
+    def _stack_chunks(rows_per_level, nch, ck):
+        """per-level [BM, QP] → per-level [nch, BM, ck] (scan xs layout)."""
+        return [
+            r.reshape(r.shape[0], nch, ck).transpose(1, 0, 2)
+            for r in rows_per_level
+        ]
+
+    def _fwd_impl(value, loc, aw):
+        b, s, m, d = value.shape
+        q, p = loc.shape[1], loc.shape[4]
+        cdt = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
+        imgs = [im.astype(cdt) for im in _level_views_t(value, spatial_shapes)]
+        qp = q * p
+        hd_max = max(h for h, _ in spatial_shapes) * d
+        nch = _num_chunks(b * m, qp, hd_max, jnp.dtype(cdt).itemsize)
+        ck = qp // nch
+        geoms = [_geom(loc, spatial_shapes, v) for v in range(n_levels)]
+        ys = [g[0] for g in geoms]
+        xs = [g[1] for g in geoms]
+        awrs = [_aw_rows(aw, v) for v in range(n_levels)]
+        if nch == 1:
+            out = _fwd_chunk(imgs, ys, xs, awrs, d, cdt)
+        else:
+            xs_stack = (
+                _stack_chunks(ys, nch, ck),
+                _stack_chunks(xs, nch, ck),
+                _stack_chunks(awrs, nch, ck),
+            )
+            out = jax.lax.map(
+                lambda c: _fwd_chunk(imgs, c[0], c[1], c[2], d, cdt),
+                xs_stack,
+            )  # [nch, BM, ck, D]
+            out = out.transpose(1, 0, 2, 3).reshape(b * m, qp, d)
         out = out.reshape(b, m, q, p, d).sum(3).transpose(0, 2, 1, 3)
         return out.reshape(b, q, m * d).astype(value.dtype)
 
@@ -156,35 +206,23 @@ def _core(spatial_shapes: Tuple[Tuple[int, int], ...]):
     def fwd(value, loc, aw):
         return core(value, loc, aw), (value, loc, aw)
 
-    def bwd(res, g):
-        value, loc, aw = res
-        b, s, m, d = value.shape
-        q, p = loc.shape[1], loc.shape[4]
-        cdt = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
-        imgs = _level_views_t(value, spatial_shapes)
-        # upstream grad broadcast over P (rows dim — layout-cheap)
-        g_rows = (
-            g.reshape(b, q, m, d).transpose(0, 2, 1, 3)[:, :, :, None, :]
-        )  # [B, M, Q, 1, D]
-        g_rows = jnp.broadcast_to(g_rows, (b, m, q, p, d)).reshape(
-            b * m, q * p, d
-        ).astype(cdt)
-        dval_parts = []
-        daw_levels = []
-        dx_levels = []
-        dy_levels = []
+    def _bwd_chunk(imgs, ys, xs, awrs_c, gr, d, cdt):
+        """One row-chunk of the backward.
+
+        Returns (per-level dimg [BM, Wv, H·D] f32 to accumulate,
+        per-level daw/dx/dy rows [BM, ck] f32)."""
+        dimgs, daw_levels, dx_levels, dy_levels = [], [], [], []
         for v, (h, w) in enumerate(spatial_shapes):
-            y, x = _geom(loc, spatial_shapes, v)
-            awr = _aw_rows(aw, v)  # [BM, QP] f32
+            y, x, awr = ys[v], xs[v], awrs_c[v]
             hx = _hats(x, w, cdt)
             hxw = hx * awr[..., None].astype(cdt)
-            img = imgs[v].astype(cdt)
-            r = _bmm(hxw, img, ((2,), (1,))).astype(cdt)  # [BM, QP, H·D]
+            img = imgs[v]
+            r = _bmm(hxw, img, ((2,), (1,))).astype(cdt)  # [BM, ck, H·D]
             hy_rep = _hats_rep(y, h, d, cdt)
             # lane-expand g over y via the transposed reduction matmul
             g_rep = _bmm(
-                g_rows, _red(h, d, cdt), ((2,), (1,)), batch=((), ())
-            ).astype(cdt)  # [BM, QP, H·D]
+                gr, _red(h, d, cdt), ((2,), (1,)), batch=((), ())
+            ).astype(cdt)  # [BM, ck, H·D]
             # d_y: Σ_j g_rep·R·dhat_rep (VPU fusion + lane reduce)
             dy_levels.append(
                 (
@@ -196,30 +234,92 @@ def _core(spatial_shapes: Tuple[Tuple[int, int], ...]):
             )
             d_r = (g_rep * hy_rep).astype(cdt)
             # d_hx' = d_R · imgᵀ ; then split into d_aw / d_x
-            d_hxw = _bmm(d_r, img, ((2,), (2,)))  # [BM, QP, Wv] f32
+            d_hxw = _bmm(d_r, img, ((2,), (2,)))  # [BM, ck, Wv] f32
             daw_levels.append((d_hxw * hx.astype(jnp.float32)).sum(-1))
             dx_levels.append(
-                (d_hxw * _dhats(x, w, jnp.float32)).sum(-1)
-                * awr
-                * w
+                (d_hxw * _dhats(x, w, jnp.float32)).sum(-1) * awr * w
             )
-            # d_img = hx'ᵀ · d_R
-            dimg = _bmm(hxw, d_r, ((1,), (1,)))  # [BM, Wv, H·D]
-            dimg = dimg.reshape(b, m, w, h, d).transpose(0, 3, 2, 1, 4)
-            dval_parts.append(dimg.reshape(b, h * w, m, d))
+            # d_img = hx'ᵀ · d_R (accumulated over row chunks)
+            dimgs.append(_bmm(hxw, d_r, ((1,), (1,))))  # [BM, Wv, H·D] f32
+        return dimgs, daw_levels, dx_levels, dy_levels
 
+    def bwd(res, g):
+        value, loc, aw = res
+        b, s, m, d = value.shape
+        q, p = loc.shape[1], loc.shape[4]
+        cdt = value.dtype if value.dtype == jnp.bfloat16 else jnp.float32
+        imgs = [im.astype(cdt) for im in _level_views_t(value, spatial_shapes)]
+        qp = q * p
+        hd_max = max(h for h, _ in spatial_shapes) * d
+        nch = _num_chunks(b * m, qp, hd_max, jnp.dtype(cdt).itemsize)
+        ck = qp // nch
+        # upstream grad broadcast over P (rows dim — layout-cheap)
+        g_rows = (
+            g.reshape(b, q, m, d).transpose(0, 2, 1, 3)[:, :, :, None, :]
+        )  # [B, M, Q, 1, D]
+        g_rows = jnp.broadcast_to(g_rows, (b, m, q, p, d)).reshape(
+            b * m, q * p, d
+        ).astype(cdt)
+        geoms = [_geom(loc, spatial_shapes, v) for v in range(n_levels)]
+        ys = [gm[0] for gm in geoms]
+        xs = [gm[1] for gm in geoms]
+        awrs = [_aw_rows(aw, v) for v in range(n_levels)]
+
+        if nch == 1:
+            dimg_levels, daw_l, dx_l, dy_l = _bwd_chunk(
+                imgs, ys, xs, awrs, g_rows, d, cdt
+            )
+            daw_rows = [x_[None] for x_ in daw_l]
+            dx_rows = [x_[None] for x_ in dx_l]
+            dy_rows = [x_[None] for x_ in dy_l]
+        else:
+            xs_stack = (
+                _stack_chunks(ys, nch, ck),
+                _stack_chunks(xs, nch, ck),
+                _stack_chunks(awrs, nch, ck),
+                g_rows.reshape(b * m, nch, ck, d).transpose(1, 0, 2, 3),
+            )
+
+            def body(carry, c):
+                dimgs, daw_l, dx_l, dy_l = _bwd_chunk(
+                    imgs, c[0], c[1], c[2], c[3], d, cdt
+                )
+                carry = [ci + di for ci, di in zip(carry, dimgs)]
+                return carry, (daw_l, dx_l, dy_l)
+
+            carry0 = [
+                jnp.zeros((b * m, w, h * d), jnp.float32)
+                for h, w in spatial_shapes
+            ]
+            dimg_levels, (daw_rows, dx_rows, dy_rows) = jax.lax.scan(
+                body, carry0, xs_stack
+            )  # rows: per-level [nch, BM, ck]
+
+        dval_parts = []
+        for v, (h, w) in enumerate(spatial_shapes):
+            dimg = dimg_levels[v].reshape(b, m, w, h, d).transpose(
+                0, 3, 2, 1, 4
+            )
+            dval_parts.append(dimg.reshape(b, h * w, m, d))
         grad_value = jnp.concatenate(dval_parts, axis=1).astype(value.dtype)
 
-        def unpack(levels):
-            t = jnp.stack(levels, axis=2)  # [BM, QP, L]
+        def cat_rows(per_level):
+            # per-level [nch, BM, ck] → [BM, QP, L]
+            levels = [
+                t.transpose(1, 0, 2).reshape(b * m, qp) for t in per_level
+            ]
+            return jnp.stack(levels, axis=2)
+
+        def unpack(t):  # [BM, QP, L] → [B, Q, M, L, P]
             return (
                 t.reshape(b, m, q, p, n_levels)
                 .transpose(0, 2, 1, 4, 3)
-            )  # [B, Q, M, L, P]
+            )
 
-        grad_aw = unpack(daw_levels).astype(aw.dtype)
+        grad_aw = unpack(cat_rows(daw_rows)).astype(aw.dtype)
         grad_loc = jnp.stack(
-            [unpack(dx_levels), unpack(dy_levels)], axis=-1
+            [unpack(cat_rows(dx_rows)), unpack(cat_rows(dy_rows))],
+            axis=-1,
         ).astype(loc.dtype)
         return grad_value, grad_loc, grad_aw
 

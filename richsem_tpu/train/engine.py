@@ -62,10 +62,11 @@ def create_train_state(params, tx, use_ema: bool = False) -> TrainState:
     )
 
 
-def make_train_step(model, cfg, tx, clip_model=None):
-    """Builds the jitted train step. ``model`` is the DINO module; ``cfg``
-    the merged config; ``tx`` the optax transformation; ``clip_model`` the
-    frozen teacher module (its params arrive per call)."""
+def make_loss_fn(model, cfg, clip_model=None):
+    """Builds the pure ``loss_fn(params, batch, rng, text_embed,
+    clip_params) -> (total, losses)`` used by :func:`make_train_step` —
+    exposed separately so tools (tools/profile_step.py) can time the
+    loss+grad program in isolation from the optimizer/metrics epilogue."""
     weight_dict = build_weight_dict(cfg)
     use_dn = cfg.use_dn and cfg.dn_number > 0
     distill_type = cfg.distill_type if cfg.use_visual_distill else ""
@@ -255,12 +256,27 @@ def make_train_step(model, cfg, tx, clip_model=None):
             losses["offset_beyond_margin"] = offset_monitor
         return total, losses
 
+    return loss_fn
+
+
+def make_train_step(model, cfg, tx, clip_model=None):
+    """Builds the jitted train step. ``model`` is the DINO module; ``cfg``
+    the merged config; ``tx`` the optax transformation; ``clip_model`` the
+    frozen teacher module (its params arrive per call)."""
+    loss_fn = make_loss_fn(model, cfg, clip_model=clip_model)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array,
         text_embed: Optional[jnp.ndarray] = None,
         clip_params: Optional[Any] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # fold the step counter in HERE rather than on the host: a host-side
+        # fold_in/split is a second tiny device program per step, and over
+        # the axon tunnel each program launch costs ~50 ms. Callers pass the
+        # same base rng every step; state.step makes the stream advance
+        # (and makes resume deterministic in the step index).
+        rng = jax.random.fold_in(rng, state.step)
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng, text_embed, clip_params
         )

@@ -513,11 +513,13 @@ def train_loop(cfg) -> Dict:
                 mlog.log_every(placed, 50,
                                header=f"Epoch [{epoch}]", total=steps_per_epoch)
             ):
-                rng, step_rng = jax.random.split(rng)
                 if fed_weight is not None:
                     dev_batch["fed_weight"] = fed_weight
+                # the step folds state.step into the rng in-graph — passing
+                # the same base key every step avoids a per-step host-side
+                # split program (~50 ms/launch over the axon tunnel)
                 state, metrics = train_step(
-                    state, dev_batch, step_rng, text_embed, clip_params
+                    state, dev_batch, rng, text_embed, clip_params
                 )
                 if prev_finite is not None and not bool(prev_finite):
                     logger.error(f"non-finite loss at epoch {epoch} it {prev_it}")

@@ -69,6 +69,40 @@ def test_gradients_match_dense_oracle(rng):
         )
 
 
+def test_row_chunked_matches_single_chunk(rng, monkeypatch):
+    """Large batches split the Q·P rows (bounded decoder temps); the chunked
+    program must be bit-identical math to the single-chunk one."""
+    import richsem_tpu.ops.ms_deform_attn_sep as sep_mod
+
+    value, loc, aw = _random_inputs(rng, b=1, q=6)
+    args = (jnp.asarray(value), jnp.asarray(loc), jnp.asarray(aw))
+
+    def run():
+        sep_mod._VJP_CACHE.clear()
+        out = ms_deform_attn_sep(args[0], SHAPES, args[1], args[2])
+        grads = jax.grad(
+            lambda v, l, a: jnp.sum(
+                jnp.sin(ms_deform_attn_sep(v, SHAPES, l, a))
+            ),
+            argnums=(0, 1, 2),
+        )(*args)
+        return out, grads
+
+    o1, g1 = run()
+    # Q·P = 18 rows; force 3 chunks of 6
+    monkeypatch.setattr(
+        sep_mod, "_CHUNK_BUDGET_BYTES", 1 * 6 * 2 * (6 * D) * 4
+    )
+    assert sep_mod._num_chunks(1 * M, 6 * P, 6 * D, 4) > 1
+    o2, g2 = run()
+    sep_mod._VJP_CACHE.clear()
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-6)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_bf16_matches_f32(rng):
     value, loc, aw = _random_inputs(rng)
     ref = np.asarray(

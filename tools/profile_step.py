@@ -7,6 +7,7 @@ timings use blocking scalar reads (axon tunnel gotcha).
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -46,7 +47,9 @@ def main():
 
     cfg = Config.fromfile("configs/richsem/richsem_4scale_lvis.py")
     cfg.compute_dtype = "bfloat16"
-    cfg.use_checkpoint = True
+    # match bench.py: layer-level remat is net-negative now that the msda
+    # core checkpoints itself
+    cfg.use_checkpoint = False
     dcfg = DINOConfig.from_config(cfg)
     model = DINO(dcfg)
 
@@ -102,6 +105,52 @@ def main():
 
     def want(name):
         return name in sections
+
+    if want("gap"):
+        # decompose full_step − model_fwd_bwd: the real loss_fn (teacher +
+        # DN + criterion + monitor) under value_and_grad, with and without
+        # the sown-monitor mutable path
+        from richsem_tpu.train.engine import make_loss_fn
+
+        def grad_prog(cfg_):
+            lf = make_loss_fn(model, cfg_, clip_model=clip_model)
+            vg = jax.value_and_grad(lf, has_aux=True)
+
+            import optax as _optax
+
+            # donate + return params so the program fits in HBM like the
+            # real train step does (its state is donated too); the caller
+            # must rebind params across calls.
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(params, rng):
+                (total, _), grads = vg(
+                    params, batch, rng, text_embed, clip_params
+                )
+                # global_norm consumes EVERY grad leaf — without it XLA
+                # DCEs all param-grad outer products (level_embed-only
+                # readback measured 352 ms vs the true full backward)
+                return params, total, _optax.global_norm(grads)
+
+            return run
+
+        # donate the ORIGINAL params (no spare copy): the program itself
+        # peaks near the HBM limit, and a second 200 MB params tree on the
+        # client tipped it into a runtime ResourceExhausted
+        run = grad_prog(cfg)
+        keys = [
+            jax.random.fold_in(jax.random.PRNGKey(1), i) for i in range(6)
+        ]
+        p, total, gn = run(params, keys[5])  # compile
+        params = None
+        _ = float(total)
+        t0 = time.time()
+        n = 5
+        for i in range(n):
+            p, total, gn = run(p, keys[i])
+        _ = float(total) + float(gn)
+        rec("loss_grad_all (shipped cfg)", (time.time() - t0) / n)
+        params = p
+        del run
 
     if "--full" in sys.argv:
         tx = build_optimizer(params, cfg, steps_per_epoch=1000)
@@ -162,7 +211,8 @@ def main():
         # ---- backbone fwd / fwd+bwd ----------------------------------------
         from richsem_tpu.models.resnet import ResNet
 
-        bb = ResNet(block_counts=(3, 4, 6, 3), return_strides=(8, 16, 32))
+        bb = ResNet(block_counts=(3, 4, 6, 3), return_strides=(8, 16, 32),
+                    dtype=jnp.bfloat16)
         bb_params = jax.jit(bb.init)(jax.random.PRNGKey(0), images)
         bb_fwd = jax.jit(lambda p: bb.apply(p, images.astype(jnp.bfloat16))[0])
         rec("backbone_fwd", timeit(bb_fwd, bb_params))
