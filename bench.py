@@ -51,7 +51,18 @@ def main() -> None:
     cfg = Config.fromfile("configs/richsem/richsem_4scale_lvis.py")
     cfg.compute_dtype = "bfloat16"
     if os.environ.get("BENCH_MONITOR"):
-        cfg.monitor_msda_offsets = True
+        cfg.monitor_msda_offsets = os.environ["BENCH_MONITOR"] == "1"
+    # component-ablation knobs: subtractive cost isolation of the step's
+    # fixed (non-layer) pieces — each removes one subsystem from the step
+    if os.environ.get("BENCH_NO_DN") == "1":
+        cfg.use_dn = False
+    if os.environ.get("BENCH_NO_DISTILL") == "1":
+        cfg.use_visual_distill = False
+        cfg.use_clip_visual_query = False
+    if os.environ.get("BENCH_MATCHER"):
+        cfg.matcher_type = os.environ["BENCH_MATCHER"]
+    if os.environ.get("BENCH_FUSED_OPT"):
+        cfg.fused_adamw = os.environ["BENCH_FUSED_OPT"] == "1"
     if os.environ.get("BENCH_IMPL"):
         cfg.msda_impl = os.environ["BENCH_IMPL"]
     if os.environ.get("BENCH_TILE"):

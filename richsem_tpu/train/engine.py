@@ -288,9 +288,13 @@ def make_train_step(model, cfg, tx, clip_model=None):
             new_ema = jax.tree.map(
                 lambda e, p: e * d + (1.0 - d) * p, new_ema, new_params
             )
+        # the fused optimizer already computed the pre-clip global norm —
+        # reading it back avoids a second full pass over every grad leaf
+        gnorm = getattr(new_opt, "gnorm", None)
         metrics = {
             "loss": total,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm if gnorm is not None
+            else optax.global_norm(grads),
             "finite": jnp.isfinite(total),
         }
         metrics.update(

@@ -17,7 +17,7 @@ Capability parity:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -85,11 +85,85 @@ def make_lr_schedule(cfg, steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.n
     return sched
 
 
+class FusedAdamWState(NamedTuple):
+    """State of :func:`fused_adamw` — same information as the optax chain
+    (count + first/second moments) plus the pre-clip grad norm, exposed so
+    the train step's ``grad_norm`` metric doesn't re-read every grad leaf."""
+
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+    gnorm: jnp.ndarray
+
+
+def fused_adamw(
+    scales: Any, schedule, clip_max_norm: float, weight_decay: float,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Single-pass clip + AdamW + per-group LR scaling.
+
+    Numerically identical to
+    ``chain(clip_by_global_norm, scale_by_adam, add_decayed_weights(mask),
+    scale(group), scale_by_learning_rate)`` but each param leaf is touched
+    by ONE fused kernel (read g/mu/nu/p, write mu/nu/update) instead of one
+    materialized updates tree per chain stage — the chain measured 11.5 ms
+    per step at flagship size on v5e, ~4x its HBM-traffic floor. Weight
+    decay applies to trainable leaves only and is scaled by the group LR,
+    exactly like the chain (decay added before the group scale)."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p)
+        return FusedAdamWState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+            gnorm=jnp.zeros((), jnp.float32),
+        )
+
+    def update_fn(updates, state, params=None):
+        gnorm = optax.global_norm(updates)
+        # optax.clip_by_global_norm semantics: scale only when over the cap
+        clip = jnp.where(gnorm < clip_max_norm, 1.0, clip_max_norm / gnorm)
+        count = optax.safe_increment(state.count)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        lr = schedule(state.count)
+
+        # three tree.maps, but XLA CSE/fusion makes them one kernel per leaf
+        new_mu = jax.tree.map(
+            lambda g, m: b1 * m + (1.0 - b1) * (g * clip), updates, state.mu
+        )
+        new_nu = jax.tree.map(
+            lambda g, v: b2 * v + (1.0 - b2) * jnp.square(g * clip),
+            updates, state.nu,
+        )
+
+        def upd(m2, v2, p, s):
+            wd = weight_decay if s > 0 else 0.0
+            adam = (m2 / c1) / (jnp.sqrt(v2 / c2) + eps)
+            return (-s) * lr * (adam + wd * p)
+
+        new_updates = jax.tree.map(upd, new_mu, new_nu, params, scales)
+        return new_updates, FusedAdamWState(count, new_mu, new_nu, gnorm)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     params: Any, cfg, steps_per_epoch: int
 ) -> optax.GradientTransformation:
     schedule = make_lr_schedule(cfg, steps_per_epoch)
     scales = lr_scale_tree(params, cfg)
+
+    # measured NEGATIVE in-model on v5e (bench 4.56 chain vs 4.45 fused):
+    # XLA fuses the optax chain's per-leaf stages inside the whole-step
+    # program, so the hand-fused single pass buys nothing and its serial
+    # tree.maps schedule slightly worse. Kept opt-in for other topologies.
+    if getattr(cfg, "fused_adamw", False):
+        return fused_adamw(
+            scales, schedule, cfg.clip_max_norm, cfg.weight_decay
+        )
+
     trainable_mask = jax.tree.map(lambda s: s > 0, scales)
 
     def scale_updates() -> optax.GradientTransformation:
