@@ -102,7 +102,9 @@ def main() -> None:
         # matches LVIS (11.2 instances/image mean — use a generous 16) so
         # iteration-count-dependent costs (auction rounds, CDN groups) see a
         # realistic workload while every static-shape cost is the real one
-        "valid": jnp.asarray(np.arange(MAX_GT)[None] < 16).repeat(BATCH, 0),
+        "valid": jnp.asarray(
+            np.arange(MAX_GT)[None] < int(os.environ.get("BENCH_VALID", "16"))
+        ).repeat(BATCH, 0),
         "size": jnp.asarray([[h - 96, w - 120]] * BATCH, jnp.int32),
         "is_extra": jnp.zeros((BATCH,), bool),
     }

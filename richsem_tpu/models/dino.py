@@ -634,23 +634,32 @@ class DINO(nn.Module):
             memory, mask_flat, spatial_shapes
         )
         out_memory = self.enc_output_norm(self.enc_output(out_memory))
-        enc_class_unsel = self._class_logits(out_memory, text_embed, enc=True)
-        enc_coord_unsel = (
-            self.enc_out_bbox_embed(out_memory).astype(jnp.float32)
-            + out_props_unsig
-        )
-        # top-k proposals by max class logit; invalid proposals excluded
+        # top-k proposals by max class logit; invalid proposals excluded.
+        # The full-[S,C] logits exist for SELECTION only (top_k is not
+        # differentiated), so they live under stop_gradient: the interm
+        # loss logits/coords are recomputed below on the 900 gathered
+        # features — identical math (the heads are per-position, so they
+        # commute with the gather) but the backward scatters [nq,256] into
+        # S positions instead of [S,1203]+[S,4], and the class-head dW
+        # matmul shrinks S/nq ≈ 28x.
         topk_scores = jnp.where(
-            prop_valid, enc_class_unsel.max(-1), -jnp.inf
+            prop_valid,
+            jax.lax.stop_gradient(
+                self._class_logits(out_memory, text_embed, enc=True)
+            ).max(-1),
+            -jnp.inf,
         )
         _, topk_idx = jax.lax.top_k(topk_scores, c.num_queries)  # [B, nq]
         gather = lambda x: jnp.take_along_axis(
             x, topk_idx[..., None], axis=1
         )
-        ref_undetach = gather(enc_coord_unsel)  # [B, nq, 4] unsigmoid
+        tgt_undetach = gather(out_memory)
+        ref_undetach = (
+            self.enc_out_bbox_embed(tgt_undetach).astype(jnp.float32)
+            + gather(out_props_unsig)
+        )  # [B, nq, 4] unsigmoid
         refpoints_unsig = jax.lax.stop_gradient(ref_undetach)
         init_box_proposal = nn.sigmoid(gather(out_props_unsig))
-        tgt_undetach = gather(out_memory)
         if c.embed_init_tgt:
             tgt = jnp.broadcast_to(
                 self.tgt_embed[None], (b, c.num_queries, c.hidden_dim)
@@ -811,7 +820,7 @@ class DINO(nn.Module):
                     "dn_pred_clip_logits"
                 )
         # encoder (interm) outputs — richsem.py:789-795
-        interm_class = gather(enc_class_unsel)
+        interm_class = self._class_logits(tgt_undetach, text_embed, enc=True)
         out["interm_outputs"] = {
             "pred_logits": interm_class,
             "pred_boxes": nn.sigmoid(ref_undetach),
