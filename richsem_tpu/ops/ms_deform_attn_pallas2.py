@@ -60,10 +60,17 @@ def _geometry(spatial_shapes, tile, margin):
     windows = []
     for sy, sx in strides:
         wy = sy + 2 * margin
-        # pad the x-extent to the bf16 sublane tile so the (wy, wxp) →
-        # matmul-depth merge is layout-free; padded columns hold zero value
-        # and (for in-window samples) exactly zero hat weight
-        wxp = _round_up(sx + 2 * margin, 16)
+        # pad the x-extent to the f32 sublane tile so the (wy, wxp) →
+        # matmul-depth merge is layout-free (the merge happens on the f32
+        # basis BEFORE any bf16 cast — see _fwd_kernel); padded columns hold
+        # zero value and (for in-window samples) exactly zero hat weight.
+        # %8 instead of %16 cuts the level-1 window 32 → 24 (−8% VPU work).
+        wxp = _round_up(sx + 2 * margin, 8)
+        if (wy * wxp) % 16:
+            # a bf16 cast of the merged [m, wy·wxp, k] basis needs the
+            # sublane dim %16; wy is even for every production margin, so
+            # this only triggers on odd-margin debug configs
+            wxp = _round_up(sx + 2 * margin, 16)
         windows.append((wy, wxp))
     k_tot = sum(qh * qw for qh, qw in tiles)
     return tiles, strides, windows, ty, tx, k_tot
@@ -277,7 +284,9 @@ def _fwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
             hx = jnp.maximum(0.0, 1.0 - jnp.abs(xv - gx))  # [M, wxp, K]
             term = hyw[:, :, None, :] * hx[:, None, :, :]  # [M, wy, wxp, K]
             basis = term if basis is None else basis + term
-        basis = basis.astype(cdt).reshape(m, wy * wxp, k)
+        # reshape in f32 (sublane tile 8 — wxp is padded %8), THEN cast:
+        # casting first would force wxp %16 and redundant level-1 columns
+        basis = basis.reshape(m, wy * wxp, k).astype(cdt)
         win = win_refs[v][0, 0].astype(cdt)  # [M, D, S]
         acc = acc + jax.lax.dot_general(
             win, basis,
@@ -331,7 +340,7 @@ def _bwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
             hyw = hy * av
             term = hyw[:, :, None, :] * hx[:, None, :, :]
             basis = term if basis is None else basis + term
-        basis = basis.astype(cdt).reshape(m, wy * wxp, k)
+        basis = basis.reshape(m, wy * wxp, k).astype(cdt)
         dwin_refs[v][...] = jax.lax.dot_general(
             g, basis,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
