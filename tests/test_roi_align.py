@@ -55,3 +55,21 @@ def test_batched_rois_shape():
     boxes = jnp.zeros((2, 7, 4))
     out = roi_align(feats, boxes, output_size=7)
     assert out.shape == (2, 7, 7, 7, 5)
+
+
+def test_matmul_matches_gather():
+    """The MXU interpolation-matrix path agrees with the 4-tap gather path
+    on random features and boxes (incl. partially out-of-bounds boxes), at
+    the CLIP-teacher grid shape."""
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 28, 42, 16)), jnp.float32)
+    xy = rng.uniform(-60, 42 * 32 * 0.8, size=(2, 9, 2))
+    wh = rng.uniform(10, 42 * 32 * 0.5, size=(2, 9, 2))
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+    g = np.asarray(
+        roi_align(feats, boxes, 7, spatial_scale=1 / 32.0, method="gather")
+    )
+    m = np.asarray(
+        roi_align(feats, boxes, 7, spatial_scale=1 / 32.0, method="matmul")
+    )
+    np.testing.assert_allclose(g, m, rtol=1e-5, atol=1e-5)
