@@ -65,6 +65,8 @@ def main() -> None:
         cfg.fused_adamw = os.environ["BENCH_FUSED_OPT"] == "1"
     if os.environ.get("BENCH_IMPL"):
         cfg.msda_impl = os.environ["BENCH_IMPL"]
+    if os.environ.get("BENCH_DEC_IMPL"):
+        cfg.dec_msda_impl = os.environ["BENCH_DEC_IMPL"]
     if os.environ.get("BENCH_TILE"):
         ty, tx = (int(x) for x in os.environ["BENCH_TILE"].split(","))
         cfg.msda_tile = (ty, tx)

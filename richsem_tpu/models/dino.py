@@ -112,7 +112,7 @@ class DINOConfig:
     enc_selective_remat: bool = False
     backbone_remat: bool = False  # recompute backbone activations in bwd
     msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
-    dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep
+    dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep | sep_pallas
     msda_margin: int = 8
     msda_tile: Tuple[int, int] = (16, 16)
     msda_clamp_offsets: bool = True  # bound offsets to ±(margin−0.5); see layers.py

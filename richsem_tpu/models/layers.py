@@ -201,13 +201,26 @@ class MSDeformAttn(nn.Module):
                 )
             )
             out = core(value, loc, attn)
-        elif impl == "sep":
+        elif impl in ("sep", "sep_pallas"):
             # decoder fast path: separable hat-basis matmuls (exact; rides
             # the MXU instead of issuing Q·M·L·P gather rows — measured
-            # 8.2 ms vs 25 ms fwd+bwd per layer at production shapes)
-            from richsem_tpu.ops.ms_deform_attn_sep import ms_deform_attn_sep
+            # 8.2 ms vs 25 ms fwd+bwd per layer at production shapes).
+            # 'sep_pallas' fuses both separable stages in VMEM so the
+            # [BM, Q·P, Hv·D] intermediate never round-trips HBM.
+            if impl == "sep_pallas" and jax.default_backend() == "tpu":
+                from richsem_tpu.ops.ms_deform_attn_sep_pallas import (
+                    ms_deform_attn_sep_pallas,
+                )
 
-            out = ms_deform_attn_sep(value, spatial_shapes, loc, attn)
+                out = ms_deform_attn_sep_pallas(
+                    value, spatial_shapes, loc, attn
+                )
+            else:
+                from richsem_tpu.ops.ms_deform_attn_sep import (
+                    ms_deform_attn_sep,
+                )
+
+                out = ms_deform_attn_sep(value, spatial_shapes, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         # Named so the encoder's selective remat policy
