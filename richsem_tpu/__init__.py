@@ -11,3 +11,36 @@ they re-implement TPU-first.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a repo-local directory.
+
+    The flagship train step costs minutes of XLA+Mosaic compile per process;
+    the cache makes every re-launch (bench, tools, driver checks, training
+    restarts) hit precompiled executables instead. Opt out with
+    ``RICHSEM_NO_COMPILE_CACHE=1``; override the location with
+    ``JAX_COMPILATION_CACHE_DIR`` (which jax itself also honors).
+    """
+    import os
+
+    if os.environ.get("RICHSEM_NO_COMPILE_CACHE") == "1":
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # jax reads the env var itself
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()

@@ -10,13 +10,24 @@ Here the assignment runs *inside* jit as a Bertsekas auction with ε-scaling:
   * every unassigned person bids for its best object simultaneously
     (Jacobi/parallel auction); conflicts resolve by a scatter-max on bids;
   * a single run from zero prices with a small ε gives an assignment within
-    ``n_persons · ε`` of the optimum. (ε-scaling with persisting prices is
-    deliberately NOT used: in the asymmetric O ≫ P case it leaves stale
-    prices on objects that end up unassigned, which breaks the duality
-    bound.) Because queries outnumber ground-truths 3–30×, bidding conflicts
-    are rare and the loop converges in a handful of iterations; with
-    DETR-style float cost matrices the result is empirically the
-    scipy-optimal assignment (asserted against scipy in tests/test_lap.py).
+    ``n_persons · ε`` of the optimum. Because queries outnumber ground-truths
+    3–30×, bidding conflicts are rare and the loop converges in a handful of
+    iterations; with DETR-style float cost matrices the result is empirically
+    the scipy-optimal assignment (asserted against scipy in tests/test_lap.py);
+  * **price wars** (dense near-tied costs — e.g. many co-located GT boxes at
+    high valid-GT density) make a fixed-ε loop crawl: each exchange between
+    two persons tied on the same object moves its price by only ~ε, so a tie
+    of depth Δ costs Δ/ε iterations. Each auction *attempt* is therefore
+    capped at ``4·P + 64`` iterations (generous for the conflict-free
+    regime); if the cap trips, the auction RESTARTS from zero prices with ε
+    coarsened ×64. Classic warm-price ε-scaling (high→low ε, prices kept)
+    is deliberately NOT used: in the asymmetric O ≫ P case stale prices on
+    since-abandoned objects break the n·ε duality bound — measured on
+    tied-row matrices it converges to assignments ~25% worse than optimal.
+    Restart-coarser keeps each attempt's clean zero-price P·ε bound at its
+    own ε (near-tied options are ε-interchangeable for matching quality)
+    and bounds total work by O(P·log(Δ/ε)) instead of Δ/ε
+    (tests/test_lap.py covers the war regime against scipy).
 
 Everything is static-shaped and vectorized: the bidding loop is a
 ``lax.while_loop`` whose body is O(P·O) dense VPU work; batches vmap.
@@ -74,14 +85,7 @@ def auction_assignment(
     person_ids = jnp.arange(p, dtype=jnp.int32)
     obj_ids = jnp.arange(o, dtype=jnp.int32)
 
-    def bidding_round(eps, price):
-        def cond(state):
-            obj_of, _, it = state
-            unassigned = person_valid & (obj_of < 0)
-            return jnp.logical_and(jnp.any(unassigned), it < max_iters)
-
-        def body(state):
-            obj_of, price, it = state
+    def bidding_step(obj_of, price, eps):
             bidders = person_valid & (obj_of < 0)
             v_masked = jnp.where(
                 bidders[:, None], benefit - price[None, :], _NEG_INF
@@ -125,19 +129,56 @@ def auction_assignment(
             )
             obj_of = jnp.where(won, best_obj, obj_of)
             price = jnp.where(contested, obj_best_bid, price)
-            return obj_of, price, it + 1
+            return obj_of, price
 
-        obj_of0 = jnp.full((p,), -1, dtype=jnp.int32)
-        obj_of, price, _ = jax.lax.while_loop(
-            cond, body, (obj_of0, price, jnp.int32(0))
-        )
-        return obj_of, price
+    eps_final = eps_rel * scale
 
-    obj_of, _ = bidding_round(eps_rel * scale, jnp.zeros((o,), jnp.float32))
+    # Restart-coarser escalation in ONE while_loop: each attempt is a clean
+    # fixed-ε auction from zero prices, capped at 4·P + 64 iterations
+    # (generous for the conflict-free O ≫ P regime — typical convergence is
+    # a handful of iterations, so the fast path is identical to a single
+    # fixed-ε run). If the cap trips (price war), prices and assignment
+    # reset and ε coarsens ×64: war length scales as Δ/ε, so a handful of
+    # restarts bounds TOTAL iterations by O(P·log(Δ/ε)) instead of Δ/ε,
+    # while each attempt keeps the clean zero-price P·ε optimality bound at
+    # its own ε (near-ties are ε-interchangeable anyway). ε never exceeds
+    # the benefit scale — at ε ≈ scale the auction degenerates to (optimal
+    #-free) greedy, which the explicit fallback below covers better.
+    attempt_cap = jnp.int32(min(max_iters, 4 * p + 64))
+    theta = 64.0
 
-    # Safety fallback: if the iteration cap was hit (pathological bidding
-    # wars on near-tied costs), assign the stragglers greedily to their best
-    # still-free object so no valid person silently stays unmatched.
+    def cond(state):
+        obj_of, _, eps, it = state
+        unassigned = jnp.any(person_valid & (obj_of < 0))
+        can_restart = eps <= scale / theta
+        stalled = it >= attempt_cap
+        return unassigned & (~stalled | can_restart)
+
+    def body(state):
+        obj_of, price, eps, it = state
+        restart = it >= attempt_cap
+        eps = jnp.where(restart, eps * theta, eps)
+        price = jnp.where(restart, jnp.zeros_like(price), price)
+        obj_of = jnp.where(restart, jnp.full_like(obj_of, -1), obj_of)
+        it = jnp.where(restart, jnp.int32(0), it)
+        obj_of, price = bidding_step(obj_of, price, eps)
+        return obj_of, price, eps, it + 1
+
+    obj_of0 = jnp.full((p,), -1, dtype=jnp.int32)
+    obj_of, price, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            obj_of0,
+            jnp.zeros((o,), jnp.float32),
+            eps_final,
+            jnp.int32(0),
+        ),
+    )
+
+    # Safety fallback: if even the coarsest attempt stalled, assign the
+    # stragglers greedily to their best still-free object so no valid
+    # person silently stays unmatched.
     unassigned = person_valid & (obj_of < 0)
     taken = jnp.zeros((o,), bool).at[jnp.clip(obj_of, 0)].set(obj_of >= 0)
     fallback_benefit = jnp.where(taken[None, :], _NEG_INF, benefit)

@@ -113,3 +113,24 @@ def test_iteration_cap_fallback(rng):
     )
     obj_of = np.asarray(obj_of)
     assert (obj_of >= 0).all()
+
+
+def test_price_war_tied_rows(rng):
+    """Near-identical rows (co-located GT boxes) trigger price wars that a
+    fixed-small-ε auction cannot finish inside its iteration cap; the
+    restart-coarser escalation must still land within the ε bound of the
+    scipy optimum (not greedy-fallback quality)."""
+    p, o = 40, 200
+    base = rng.standard_normal((1, o)).astype(np.float32)
+    cost = np.tile(base, (p, 1)) + 1e-5 * rng.standard_normal((p, o)).astype(
+        np.float32
+    )
+    valid = np.ones(p, bool)
+    obj_of, _ = auction_assignment(jnp.asarray(-cost), jnp.asarray(valid))
+    obj_of = np.asarray(obj_of)
+    assert len(set(obj_of.tolist())) == p  # one-to-one
+    got = cost[np.arange(p), obj_of].sum()
+    opt = _opt_cost(cost, valid)
+    # coarsest-attempt ε bound: P · ε_rel·64² · scale — loose but far
+    # tighter than what greedy fallback achieves on tied rows
+    assert got - opt < 0.05 * abs(opt) + 0.5
