@@ -35,7 +35,19 @@ def _enable_persistent_compile_cache() -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
         )
-        os.makedirs(cache_dir, exist_ok=True)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            probe = os.path.join(cache_dir, ".write_probe")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+        except OSError:
+            # site-packages installs land beside an unwritable prefix —
+            # fall back to a per-user cache instead of silently disabling
+            cache_dir = os.path.join(
+                os.path.expanduser("~"), ".cache", "richsem_tpu", "jax"
+            )
+            os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

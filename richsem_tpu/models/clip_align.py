@@ -135,6 +135,9 @@ def clip_teacher_box_targets(
     crops = roi_align(
         spatial.astype(jnp.float32), boxes_xyxy, output_size=grid,
         spatial_scale=1.0 / 32.0,
+        # detectron2-exact adaptive grid (reference: ROIAlign(…, 0,
+        # aligned=True), richsem.py:878); free on the matmul path
+        sampling_ratio=0,
     )  # [B, K, grid, grid, 2048]
     pooled = clip_model.apply(
         clip_params,

@@ -252,6 +252,17 @@ def _kl_terms(student_logits, teacher_logits, dynamic_weight, fed_ids=None):
     (use_fed_on_kd, richsem.py:997-1000) and entropy weighting."""
     s = student_logits.astype(jnp.float32)
     t_logits = teacher_logits.astype(jnp.float32)
+    # the dynamic entropy weight uses the FULL-class teacher softmax and a
+    # log(C) normalizer — the reference computes it BEFORE the fed-class
+    # restriction (richsem.py:973-998: get_dynamic_weight(tgt_logits) runs
+    # on the unrestricted logits, then [..., fed_ids] is applied)
+    weight = None
+    if dynamic_weight:
+        t_full = jax.nn.softmax(t_logits, -1)
+        ent = -(t_full * jnp.log(jnp.clip(t_full, min=1e-20))).sum(
+            -1, keepdims=True
+        )
+        weight = ent / jnp.log(t_logits.shape[-1]) * 2.0
     if fed_ids is not None:
         fed_ids, fed_mask = fed_ids
         s = s[..., fed_ids]
@@ -262,9 +273,8 @@ def _kl_terms(student_logits, teacher_logits, dynamic_weight, fed_ids=None):
     log_p = jax.nn.log_softmax(s, -1)
     t = jax.nn.softmax(t_logits, -1)
     kl = t * (jnp.log(jnp.clip(t, min=1e-20)) - log_p)
-    if dynamic_weight:
-        ent = -(t * jnp.log(jnp.clip(t, min=1e-20))).sum(-1, keepdims=True)
-        kl = kl * (ent / jnp.log(t.shape[-1]) * 2.0)
+    if weight is not None:
+        kl = kl * weight
     return kl.sum(-1)
 
 

@@ -111,8 +111,10 @@ class DINOConfig:
     # batches on bigger-HBM parts.
     enc_selective_remat: bool = False
     backbone_remat: bool = False  # recompute backbone activations in bwd
-    msda_impl: str = "gather"  # encoder deformable attention: gather | tiled
-    dec_msda_impl: str = "sep"  # decoder cross-attention: gather | sep | sep_pallas
+    # encoder deformable attention: gather | patch | tiled | pallas | pallas2
+    msda_impl: str = "gather"
+    # decoder cross-attention: gather | patch | sep | sep_pallas
+    dec_msda_impl: str = "sep"
     msda_margin: int = 8
     msda_tile: Tuple[int, int] = (16, 16)
     msda_clamp_offsets: bool = True  # bound offsets to ±(margin−0.5); see layers.py
@@ -147,6 +149,28 @@ class DINOConfig:
         if getattr(cfg, "use_clip_visual_query", False) and not cfg.use_language:
             raise NotImplementedError(
                 "use_clip_visual_query requires use_language=True"
+            )
+        if (
+            getattr(cfg, "use_dn", True)
+            and 0 < cfg.dn_number < 50
+            and not getattr(cfg, "dn_force_budget", False)
+        ):
+            # The reference reinterprets small dn_number as a GROUP count
+            # (dn_components.py:27-39: after dn_number*=2, values < 100 are
+            # used directly as the pos/neg group multiplier, so the DN pad
+            # is 2·2·dn_number·max_gt — it grows with the batch's GT count).
+            # Our static-shape CDN implements the budget branch
+            # (dn_number >= 50 ⇒ groups = dn_number // max_gt, pad
+            # 2·dn_number), which every shipped recipe uses (dn_number=100).
+            # Training a dn_number<50 config here would silently run
+            # different math, so reject loudly (repo fail-loud policy).
+            raise NotImplementedError(
+                f"dn_number={cfg.dn_number} < 50 selects the reference's "
+                "group-count CDN semantics (dn_components.py:27-39), which "
+                "richsem_tpu does not implement (static-shape budget "
+                "semantics only, dn_number >= 50). Use dn_number >= 50, "
+                "use_dn=False, or set dn_force_budget=True to knowingly "
+                "train budget semantics at a small budget (tests do this)."
             )
         if getattr(cfg, "use_clip_visual_query", False) and not cfg.use_visual_distill:
             # the CLIP spatial map the query crop reads only exists on the

@@ -79,7 +79,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     compute_dtype: jnp.dtype = jnp.float32
-    impl: str = "gather"  # 'gather' | 'tiled' | 'pallas' | 'sep'
+    impl: str = "gather"  # gather | patch | tiled | pallas | pallas2 | sep | sep_pallas
     tiled_margin: int = 8
     tiled_tile: Tuple[int, int] = (16, 16)  # swept optimum on v5e
     # Bound raw offsets to ±(margin − 0.5) when a windowed kernel is active.
@@ -221,6 +221,15 @@ class MSDeformAttn(nn.Module):
                 )
 
                 out = ms_deform_attn_sep(value, spatial_shapes, loc, attn)
+        elif impl == "patch":
+            # exact 2×2-patch-gather formulation (one gather per level, 4×
+            # fewer gather rows than the row-per-tap path); works for any
+            # Q — selectable for encoder and decoder
+            from richsem_tpu.ops.ms_deform_attn_patch import (
+                ms_deform_attn_patch,
+            )
+
+            out = ms_deform_attn_patch(value, spatial_shapes, loc, attn)
         else:
             out = ms_deform_attn(value, spatial_shapes, loc, attn)
         # Named so the encoder's selective remat policy

@@ -67,8 +67,12 @@ def auction_assignment(
         effective persons.
       person_valid: ``[P]`` bool; invalid (padding) persons never bid and get
         assignment −1.
-      max_iters: bidding-iteration cap (safety bound for ``while_loop``;
-        generous — typical convergence is a handful of iterations).
+      max_iters: per-ATTEMPT bidding-iteration cap (each auction attempt runs
+        at most ``min(max_iters, 4·P + 64)`` iterations; on a stall the
+        auction restarts from zero prices with a ×64 coarser ε, so TOTAL
+        while_loop iterations can reach ~``log₆₄(scale/ε_final)`` × the
+        per-attempt cap before the greedy fallback engages). Typical
+        convergence is a handful of iterations in one attempt.
       eps_rel: bid increment as a fraction of the benefit scale; optimality
         gap is bounded by ``P · eps_rel · scale``.
 
@@ -142,8 +146,8 @@ def auction_assignment(
     # restarts bounds TOTAL iterations by O(P·log(Δ/ε)) instead of Δ/ε,
     # while each attempt keeps the clean zero-price P·ε optimality bound at
     # its own ε (near-ties are ε-interchangeable anyway). ε never exceeds
-    # the benefit scale — at ε ≈ scale the auction degenerates to (optimal
-    #-free) greedy, which the explicit fallback below covers better.
+    # the benefit scale — at ε ≈ scale the auction degenerates to
+    # (price-free) greedy, which the explicit fallback below covers better.
     attempt_cap = jnp.int32(min(max_iters, 4 * p + 64))
     theta = 64.0
 

@@ -14,11 +14,16 @@ Semantics (detectron2 ``aligned=True``):
     bilinear samples at bin-interior fractions (i+0.5)/n;
   * out-of-bounds taps contribute zero.
 
-One deliberate departure: detectron2's ``sampling_ratio=0`` adapts the grid
-to ``ceil(roi_extent / output_size)`` per box — a data-dependent shape that
-cannot be jitted. Here ``sampling_ratio`` is a static int (default 2);
-numerics agree with adaptive sampling to within the bilinear smoothing of
-the feature map.
+``sampling_ratio=0`` implements detectron2's ADAPTIVE grid exactly —
+``ceil(roi_extent / output_size)`` samples per bin per axis, per box. The
+data-dependent grid count cannot be jitted as a shape, but in the matmul
+formulation it never needs to be one: the interpolation matrix ``W`` has a
+fixed shape regardless of how many samples were averaged into each row, so
+the adaptive grid is a static ``nmax = ceil(map_extent / output_size)``
+sample lattice with rows ``j < ceil(extent/o)`` masked in at weight
+``1/ceil(extent/o)`` — bit-exact detectron2 semantics, static shapes, and
+the MXU contraction cost is independent of the grid count. (The ``gather``
+method keeps a static ratio and rejects 0 loudly.)
 
 Two implementations, selected by ``method``:
 
@@ -69,6 +74,12 @@ def roi_align(
         return _roi_align_matmul(
             features, boxes, output_size, spatial_scale, sampling_ratio
         )
+    if sampling_ratio == 0:
+        raise NotImplementedError(
+            "adaptive sampling_ratio=0 is implemented on the matmul path "
+            "only (the gather path's sample count is a shape); use "
+            "method='matmul' or a static sampling_ratio"
+        )
     _, r, _ = boxes.shape
     n = sampling_ratio
     o = output_size
@@ -99,25 +110,45 @@ def _roi_align_matmul(
     spatial_scale: float,
     sampling_ratio: int,
 ) -> jnp.ndarray:
-    """RoIAlign as an interpolation-matrix MXU contraction (small grids)."""
+    """RoIAlign as an interpolation-matrix MXU contraction (small grids).
+
+    ``sampling_ratio=0``: detectron2-exact adaptive grid — per box and per
+    axis, ``ng = max(1, ceil(roi_extent / output_size))`` samples per bin,
+    realized as a static ``nmax``-sample lattice with samples ``j >= ng``
+    masked to zero weight and the rest averaged at ``1/ng``. The matrix
+    shape (and the MXU contraction) is independent of ``ng``.
+    """
+    import math
+
     b, h, w, c = features.shape
     _, r, _ = boxes.shape
-    n = sampling_ratio
     o = output_size
 
     bx = boxes.astype(jnp.float32) * spatial_scale
     start_x = bx[..., 0] - 0.5
     start_y = bx[..., 1] - 0.5
-    bin_w = (bx[..., 2] - bx[..., 0]) / o
-    bin_h = (bx[..., 3] - bx[..., 1]) / o
-    frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
-    bins = jnp.arange(o, dtype=jnp.float32)
-    grid = (bins[:, None] + frac[None, :]).reshape(o * n)
-    sx = start_x[..., None] + bin_w[..., None] * grid  # [B, R, o*n]
-    sy = start_y[..., None] + bin_h[..., None] * grid
+    ext_w = bx[..., 2] - bx[..., 0]  # [B, R] roi extents (feature px)
+    ext_h = bx[..., 3] - bx[..., 1]
+    bin_w = ext_w / o
+    bin_h = ext_h / o
 
-    def axis_weights(coord, size):
-        # [B,R,o*n] sample coords -> bin-averaged interp matrix [B,R,o,size]
+    def axis_weights(start, bin_sz, extent, size, nmax):
+        # sample lattice: bin i, sample j at (i + (j+0.5)/ng)·bin; ng per
+        # box (adaptive) or constant (static ratio)
+        if sampling_ratio == 0:
+            ng = jnp.clip(jnp.ceil(extent / o), 1.0, float(nmax))  # [B, R]
+        else:
+            ng = jnp.full_like(extent, float(nmax))
+        j = jnp.arange(nmax, dtype=jnp.float32)
+        active = j[None, None, :] < ng[..., None]  # [B, R, nmax]
+        frac = (j[None, None, :] + 0.5) / ng[..., None]
+        bins = jnp.arange(o, dtype=jnp.float32)
+        # [B, R, o, nmax]
+        coord = (
+            start[..., None, None]
+            + bin_sz[..., None, None] * (bins[:, None] + frac[..., None, :])
+        )
+        samp_w = jnp.where(active, 1.0 / ng[..., None], 0.0)  # [B, R, nmax]
         c0 = jnp.floor(coord)
         d = coord - c0
         c0i = c0.astype(jnp.int32)
@@ -126,11 +157,14 @@ def _roi_align_matmul(
         w1 = jnp.where((c0i + 1 >= 0) & (c0i + 1 < size), d, 0.0)
         m = (pos == c0i[..., None]) * w0[..., None] + (
             pos == c0i[..., None] + 1
-        ) * w1[..., None]
-        return m.reshape(coord.shape[0], coord.shape[1], o, n, size).mean(3)
+        ) * w1[..., None]  # [B, R, o, nmax, size]
+        return (m * samp_w[:, :, None, :, None]).sum(3)
 
-    ay = axis_weights(sy, h)  # [B, R, o, H]
-    ax = axis_weights(sx, w)  # [B, R, o, W]
+    # static worst-case grid counts: a box never exceeds the map extent
+    nmax_y = sampling_ratio if sampling_ratio else max(1, math.ceil(h / o))
+    nmax_x = sampling_ratio if sampling_ratio else max(1, math.ceil(w / o))
+    ay = axis_weights(start_y, bin_h, ext_h, h, nmax_y)  # [B, R, o, H]
+    ax = axis_weights(start_x, bin_w, ext_w, w, nmax_x)  # [B, R, o, W]
     wmat = jnp.einsum("briy,brjx->brijyx", ay, ax).reshape(
         b, r * o * o, h * w
     ).astype(features.dtype)

@@ -364,6 +364,18 @@ def train_loop(cfg) -> Dict:
     place_batch = make_batch_placer(mesh)
     rep = replicated(mesh)
     logger.info(f"mesh: {mesh.shape} · batch sharding {batch_sharding(mesh).spec}")
+    pretrained = None
+    if cfg.pretrain_model_path:
+        import pickle
+
+        from richsem_tpu.utils.checkpoint import guard_converted_checkpoint
+
+        with open(cfg.pretrain_model_path, "rb") as f:
+            pretrained = pickle.load(f)
+        # converted reference checkpoints must not be silently clamped —
+        # may mutate cfg (exact gather path for eval) BEFORE the model is
+        # built, or refuse a clamped training run
+        guard_converted_checkpoint(cfg, pretrained, logger)
     model, weight_dict, _ = registry.MODEL_REGISTRY["richsem"](cfg)
 
     train_loader, val_loader, train_ds, val_ds = build_loaders(
@@ -390,12 +402,9 @@ def train_loop(cfg) -> Dict:
         train=False,
         **init_kw,
     )
-    if cfg.pretrain_model_path:
+    if pretrained is not None:
         from richsem_tpu.utils.checkpoint import load_pretrained_params
-        import pickle
 
-        with open(cfg.pretrain_model_path, "rb") as f:
-            pretrained = pickle.load(f)
         params = load_pretrained_params(
             params, pretrained, cfg.finetune_ignore or []
         )

@@ -1,0 +1,360 @@
+"""Loss-dict parity vs the reference's own ``SetCriterion`` (VERDICT r3 #2).
+
+Drives /root/reference/models/richsem/richsem.py:890-1306 (SetCriterion) +
+matcher.py:49-78 (HungarianMatcher, scipy) on CPU with the stub loader from
+tests/test_flagship_parity.py, and asserts every weighted loss key —
+``loss_ce/bbox/giou`` (+ ``loss_xy/hw`` diagnostics), the ``_dn`` fabricated
+-index losses (richsem.py:1155-1195), the ``_0..k`` aux and ``_interm``
+matrices, focal-with-fed sampling (richsem.py:938-965, fed_loss.py:15-26),
+and the distill KL with dynamic entropy weight (richsem.py:967-1024) —
+matches :func:`richsem_tpu.models.criterion.set_criterion` through the
+identical matcher assignment on the same random inputs.
+
+Fed sampling is forced to a fixed class set on BOTH sides (the reference
+uses torch.multinomial, ours a Gumbel top-k — the sampled sets are patched
+equal so the loss arithmetic is compared exactly).
+
+This file is TEST GLUE: it executes reference code as an oracle; nothing
+here ships into richsem_tpu/.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from richsem_tpu.models.criterion import (
+    expand_dn_targets,
+    set_criterion,
+    weighted_loss,
+)
+
+from tests.test_flagship_parity import _ensure_richsem_module
+
+B, Q, C = 2, 24, 11
+COUNTS = [4, 3]  # valid GTs per image
+G = 6  # padded gt slots
+N_AUX = 2  # aux decoder sets
+FED_IDS = [0, 2, 3, 5, 7, 9, 10]  # forced fed class set (incl. appeared)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+def _patch_cuda(monkeypatch):
+    """The reference criterion's DN path hard-codes .cuda()/.to('cuda')
+    (richsem.py:1162-1196); route both to CPU for the oracle run."""
+    monkeypatch.setattr(
+        torch.Tensor, "cuda", lambda self, *a, **k: self, raising=False
+    )
+    orig_to = torch.Tensor.to
+
+    def to(self, *args, **kwargs):
+        if args and args[0] == "cuda":
+            return self
+        return orig_to(self, *args, **kwargs)
+
+    monkeypatch.setattr(torch.Tensor, "to", to)
+
+
+def _rand_case(seed, distill=False, dn_groups=0):
+    """One random prediction/target set, returned as plain numpy."""
+    rng = np.random.default_rng(seed)
+
+    def boxes(*shape):
+        cxcy = rng.uniform(0.15, 0.85, shape + (2,))
+        wh = rng.uniform(0.05, 0.25, shape + (2,))
+        return np.concatenate([cxcy, wh], -1).astype(np.float32)
+
+    def out_set():
+        d = {
+            "pred_logits": rng.normal(0, 1.5, (B, Q, C)).astype(np.float32),
+            "pred_boxes": boxes(B, Q),
+        }
+        if distill:
+            d["pred_clip_logits"] = rng.normal(0, 1.0, (B, Q, C)).astype(
+                np.float32
+            )
+        return d
+
+    case = {
+        "final": out_set(),
+        "aux": [out_set() for _ in range(N_AUX)],
+        "interm": {
+            "pred_logits": rng.normal(0, 1.5, (B, Q, C)).astype(np.float32),
+            "pred_boxes": boxes(B, Q),
+        },
+        "gt_labels": rng.integers(0, C, (B, G)).astype(np.int32),
+        "gt_boxes": boxes(B, G),
+        "gt_valid": (np.arange(G)[None, :] < np.asarray(COUNTS)[:, None]),
+        "clip_logits": rng.normal(0, 1.0, (B, G, C)).astype(np.float32),
+    }
+    if dn_groups:
+        m = max(COUNTS)
+        pad = 2 * m * dn_groups
+        dn = {
+            "pred_logits": rng.normal(0, 1.5, (B, pad, C)).astype(np.float32),
+            "pred_boxes": boxes(B, pad),
+            "aux_outputs": [
+                {
+                    "pred_logits": rng.normal(0, 1.5, (B, pad, C)).astype(
+                        np.float32
+                    ),
+                    "pred_boxes": boxes(B, pad),
+                }
+                for _ in range(N_AUX)
+            ],
+        }
+        if distill:
+            dn["pred_clip_logits"] = rng.normal(0, 1.0, (B, pad, C)).astype(
+                np.float32
+            )
+        case["dn"] = dn
+        case["dn_groups"] = dn_groups
+        case["dn_single_pad"] = 2 * m
+    return case
+
+
+def _run_reference(case, monkeypatch, distill=False, fed=False,
+                   dynamic_weight=False, fed_on_kd=False):
+    richsem_mod = _ensure_richsem_module()
+    import importlib
+
+    matcher_mod = importlib.import_module("models.richsem.matcher")
+    fed_mod = importlib.import_module("models.richsem.fed_loss")
+    _patch_cuda(monkeypatch)
+    if fed:
+        monkeypatch.setattr(
+            fed_mod,
+            "get_fed_loss_inds",
+            lambda gt, n, c, w: torch.as_tensor(FED_IDS, dtype=torch.long),
+        )
+
+    matcher = matcher_mod.HungarianMatcher(
+        cost_class=2.0, cost_bbox=5.0, cost_giou=2.0, focal_alpha=0.25
+    )
+    crit = richsem_mod.SetCriterion(
+        num_classes=C,
+        matcher=matcher,
+        weight_dict={},
+        focal_alpha=0.25,
+        losses=["labels", "boxes", "cardinality"],
+        distill_type="clip_logits" if distill else "l2",
+        distill_aux_layers=False,
+        use_dynamic_distill_weight=dynamic_weight,
+        clip_distill_objective="gt",
+        use_fed_loss=fed,
+        fed_num_sample_cats=len(FED_IDS),
+        use_fed_on_kd=fed_on_kd,
+    )
+    crit.fed_weight = torch.ones(C)
+    crit.train()
+
+    t = lambda x: torch.as_tensor(np.asarray(x))
+    targets = []
+    for i in range(B):
+        n = COUNTS[i]
+        tgt = {
+            "labels": t(case["gt_labels"][i, :n]).long(),
+            "boxes": t(case["gt_boxes"][i, :n]),
+        }
+        if distill:
+            tgt["clip_logits"] = t(case["clip_logits"][i, :n])
+            tgt["clip_prompt"] = torch.zeros(n, 4)
+        targets.append(tgt)
+
+    def mk_set(d, with_hs=False):
+        out = {k: t(v) for k, v in d.items() if k.startswith("pred_")}
+        if with_hs and distill:
+            out["pred_hs"] = t(d["pred_clip_logits"])  # triggers distill
+        return out
+
+    outputs = mk_set(case["final"], with_hs=True)
+    outputs["aux_outputs"] = [mk_set(a) for a in case["aux"]]
+    outputs["interm_outputs"] = mk_set(case["interm"])
+    if "dn" in case:
+        known = mk_set(case["dn"], with_hs=True)
+        known["aux_outputs"] = [
+            mk_set(a) for a in case["dn"]["aux_outputs"]
+        ]
+        outputs["dn_meta"] = {
+            "output_known_lbs_bboxes": known,
+            "num_dn_group": case["dn_groups"],
+            "pad_size": case["dn_groups"] * case["dn_single_pad"],
+        }
+    else:
+        outputs["dn_meta"] = None
+
+    with torch.no_grad():
+        losses = crit(outputs, targets)
+    return {k: float(v) for k, v in losses.items()}
+
+
+def _run_ours(case, monkeypatch, distill=False, fed=False,
+              dynamic_weight=False, fed_on_kd=False):
+    import richsem_tpu.models.criterion as crit_mod
+
+    if fed:
+        ids = jnp.asarray(FED_IDS, jnp.int32)
+        mask = jnp.ones((len(FED_IDS),), bool)
+        monkeypatch.setattr(
+            crit_mod, "fed_loss_classes", lambda *a, **k: (ids, mask)
+        )
+
+    outputs = {
+        "pred_logits": jnp.asarray(case["final"]["pred_logits"]),
+        "pred_boxes": jnp.asarray(case["final"]["pred_boxes"]),
+        "aux_outputs": [
+            {k: jnp.asarray(v) for k, v in a.items()} for a in case["aux"]
+        ],
+        "interm_outputs": {
+            k: jnp.asarray(v) for k, v in case["interm"].items()
+        },
+    }
+    if distill:
+        outputs["pred_clip_logits"] = jnp.asarray(
+            case["final"]["pred_clip_logits"]
+        )
+    targets = {
+        "labels": jnp.asarray(case["gt_labels"]),
+        "boxes": jnp.asarray(case["gt_boxes"]),
+        "valid": jnp.asarray(case["gt_valid"]),
+    }
+    if distill:
+        targets["clip_logits"] = jnp.asarray(case["clip_logits"])
+
+    dn_meta = None
+    if "dn" in case:
+        groups = case["dn_groups"]
+        single_pad = case["dn_single_pad"]
+        m = single_pad // 2
+        pad = groups * single_pad
+        slot = np.arange(pad)
+        within = slot % single_pad
+        match_gt = np.where(
+            (within[None, :] < np.asarray(COUNTS)[:, None]),
+            within[None, :],
+            -1,
+        ).astype(np.int32)  # [B, pad]
+        dn_meta = {
+            "match_gt": jnp.asarray(match_gt),
+            "num_groups": jnp.float32(groups),
+            # every slot of the reference's [B, pad] tensor contributes
+            # background focal loss (richsem.py runs the focal over the
+            # whole fabricated tensor)
+            "slot_in_use": jnp.ones((B, pad), bool),
+        }
+        dn_meta = expand_dn_targets(
+            targets["labels"], targets["boxes"], targets["valid"], dn_meta,
+            pad,
+            gt_clip_logits=targets.get("clip_logits"),
+        )
+        outputs["dn_outputs"] = {
+            "pred_logits": jnp.asarray(case["dn"]["pred_logits"]),
+            "pred_boxes": jnp.asarray(case["dn"]["pred_boxes"]),
+            "aux_outputs": [
+                {k: jnp.asarray(v) for k, v in a.items()}
+                for a in case["dn"]["aux_outputs"]
+            ],
+        }
+        if distill:
+            outputs["dn_outputs"]["pred_clip_logits"] = jnp.asarray(
+                case["dn"]["pred_clip_logits"]
+            )
+
+    losses = set_criterion(
+        outputs, targets, jax.random.PRNGKey(0),
+        num_classes=C, focal_alpha=0.25,
+        cost_class=2.0, cost_bbox=5.0, cost_giou=2.0,
+        matcher_type="HungarianMatcher",
+        use_fed_loss=fed, fed_num_sample_cats=len(FED_IDS),
+        use_fed_on_kd=fed_on_kd,
+        distill_type="clip_logits" if distill else "",
+        clip_distill_objective="gt",
+        use_dynamic_distill_weight=dynamic_weight,
+        dn_meta=dn_meta,
+    )
+    return {k: float(v) for k, v in losses.items()}
+
+
+def _compare(ref, ours, skip_prefixes=("cardinality", "class_error")):
+    """Every reference loss key must match ours (zero-filled placeholder
+    keys the reference emits on the no-DN path may be absent here)."""
+    checked = 0
+    for k, v in sorted(ref.items()):
+        if any(k.startswith(p) or k.split("_", 2)[-1].startswith(p)
+               for p in ()):
+            continue
+        if k.startswith(("cardinality", "class_error")):
+            # diagnostics: ours average differently only in naming edge
+            # cases; still compare when present
+            if k in ours:
+                np.testing.assert_allclose(ours[k], v, rtol=1e-4, atol=1e-5,
+                                           err_msg=k)
+                checked += 1
+            continue
+        if k not in ours:
+            assert v == 0.0, f"reference key {k}={v} missing from ours"
+            continue
+        np.testing.assert_allclose(ours[k], v, rtol=2e-4, atol=1e-5,
+                                   err_msg=k)
+        checked += 1
+    assert checked >= 10
+    return checked
+
+
+# ---------------------------------------------------------------------------
+# cases
+# ---------------------------------------------------------------------------
+def test_closed_vocab_parity(monkeypatch):
+    case = _rand_case(0)
+    ref = _run_reference(case, monkeypatch)
+    ours = _run_ours(case, monkeypatch)
+    n = _compare(ref, ours)
+    # final + 2 aux + interm, each with ce/bbox/giou/xy/hw
+    assert n >= 4 * 5
+
+
+def test_open_vocab_distill_fed_parity(monkeypatch):
+    case = _rand_case(1, distill=True)
+    kw = dict(distill=True, fed=True, dynamic_weight=True, fed_on_kd=True)
+    ref = _run_reference(case, monkeypatch, **kw)
+    ours = _run_ours(case, monkeypatch, **kw)
+    assert "loss_distill" in ref and "loss_distill" in ours
+    _compare(ref, ours)
+
+
+def test_dn_parity(monkeypatch):
+    case = _rand_case(2, distill=True, dn_groups=2)
+    kw = dict(distill=True)
+    ref = _run_reference(case, monkeypatch, **kw)
+    ours = _run_ours(case, monkeypatch, **kw)
+    for k in ("loss_ce_dn", "loss_bbox_dn", "loss_giou_dn",
+              "loss_distill_dn", "loss_ce_dn_0", "loss_bbox_dn_1"):
+        assert k in ref and k in ours, k
+    _compare(ref, ours)
+
+
+def test_weighted_total_parity(monkeypatch):
+    """The weight matrix (build_weight_dict, richsem.py:1467-1509) applied
+    to both dicts yields the same scalar."""
+    from __graft_entry__ import _tiny_cfg_dict
+    from richsem_tpu.models.criterion import build_weight_dict
+
+    case = _rand_case(3, distill=True, dn_groups=2)
+    kw = dict(distill=True, fed=True, dynamic_weight=True)
+    ref = _run_reference(case, monkeypatch, **kw)
+    ours = _run_ours(case, monkeypatch, **kw)
+    cfg = _tiny_cfg_dict(
+        num_classes=C, dec_layers=N_AUX + 1, use_dn=True, dn_number=100,
+        use_visual_distill=True, aux_loss=True, two_stage_type="standard",
+    )
+    wd = build_weight_dict(cfg)
+    total_ref = sum(w * ref.get(k, 0.0) for k, w in wd.items())
+    total_ours = float(weighted_loss(
+        {k: jnp.float32(v) for k, v in ours.items()}, wd
+    ))
+    np.testing.assert_allclose(total_ours, total_ref, rtol=2e-4)

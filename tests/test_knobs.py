@@ -136,3 +136,23 @@ def test_unsupported_knobs_raise():
         cfg = _tiny_cfg_dict(**{key: val})
         with pytest.raises(NotImplementedError):
             DINOConfig.from_config(cfg)
+
+
+def test_small_dn_number_rejected():
+    # dn_number < 50 selects the reference's group-count CDN semantics
+    # (dn_components.py:27-39) which richsem_tpu does not implement —
+    # silent budget-semantics training would be different math.
+    cfg = _tiny_cfg_dict(use_dn=True, dn_number=20, dn_force_budget=False)
+    with pytest.raises(NotImplementedError, match="group-count"):
+        DINOConfig.from_config(cfg)
+    # budget branch (>= 50), disabled DN, and the explicit test opt-in stay
+    # accepted
+    DINOConfig.from_config(
+        _tiny_cfg_dict(use_dn=True, dn_number=100, dn_force_budget=False)
+    )
+    DINOConfig.from_config(
+        _tiny_cfg_dict(use_dn=False, dn_number=0, dn_force_budget=False)
+    )
+    DINOConfig.from_config(
+        _tiny_cfg_dict(use_dn=True, dn_number=20, dn_force_budget=True)
+    )

@@ -216,7 +216,22 @@ def main():
     dec = len({k.split(".")[3] for k in sd if k.startswith("transformer.decoder.layers.")})
     params = convert_detector(sd, enc_layers=enc, dec_layers=dec)
     with open(dst, "wb") as f:
-        pickle.dump({"params": params}, f)
+        # unbounded_offsets: the reference's sampling_offsets head is an
+        # unbounded Linear (ops/modules/ms_deform_attn.py:95-100); running
+        # such weights under a windowed kernel with msda_clamp_offsets
+        # silently perturbs any learned offset beyond ±(margin−0.5).
+        # utils/checkpoint.py:guard_converted_checkpoint reads this flag and
+        # forces the exact gather path (or refuses) — see VERDICT r3 weak #3.
+        pickle.dump(
+            {
+                "params": params,
+                "meta": {
+                    "source": "reference_torch_checkpoint",
+                    "unbounded_offsets": True,
+                },
+            },
+            f,
+        )
     print(f"wrote {dst} ({enc} enc / {dec} dec layers)")
 
 
