@@ -274,7 +274,10 @@ def _fwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
     for v, (wy, wxp) in enumerate(windows):
         gy = _iota_col(wy)
         gx = _iota_col(wxp)
-        basis = None
+        # two independent accumulators: the naive p-loop serializes four
+        # full-size FMAs on one register chain; pairing them halves the
+        # loop-carried dependency depth for the VPU scheduler
+        basis0 = basis1 = None
         for p in range(p_pts):
             i = v * p_pts + p
             yv = yr[:, i, :][:, None, :]  # [M, 1, K]
@@ -283,7 +286,11 @@ def _fwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
             hyw = jnp.maximum(0.0, av - av * jnp.abs(yv - gy))  # [M, wy, K]
             hx = jnp.maximum(0.0, 1.0 - jnp.abs(xv - gx))  # [M, wxp, K]
             term = hyw[:, :, None, :] * hx[:, None, :, :]  # [M, wy, wxp, K]
-            basis = term if basis is None else basis + term
+            if p % 2 == 0:
+                basis0 = term if basis0 is None else basis0 + term
+            else:
+                basis1 = term if basis1 is None else basis1 + term
+        basis = basis0 if basis1 is None else basis0 + basis1
         # reshape in f32 (sublane tile 8 — wxp is padded %8), THEN cast:
         # casting first would force wxp %16 and redundant level-1 columns
         basis = basis.reshape(m, wy * wxp, k).astype(cdt)
@@ -316,7 +323,7 @@ def _bwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
             preferred_element_type=jnp.float32,
         )  # [M, S, K]
         d_basis4 = d_basis.reshape(m, wy, wxp, k)
-        basis = None
+        basis0 = basis1 = None  # paired accumulators (see _fwd_kernel)
         for p in range(p_pts):
             i = v * p_pts + p
             yv = yr[:, i, :][:, None, :]
@@ -328,18 +335,33 @@ def _bwd_kernel(windows, n_lvl, p_pts, cdt, *refs):
             hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx_))  # [M, wxp, K]
             dhy = jnp.where(jnp.abs(dy_) < 1.0, -jnp.sign(dy_), 0.0)
             dhx = jnp.where(jnp.abs(dx_) < 1.0, -jnp.sign(dx_), 0.0)
-            # U_p[m, y, k] = Σ_x hx·d_basis ; V_p[m, x, k] = Σ_y hy·d_basis
-            u_p = (hx[:, None, :, :] * d_basis4).sum(axis=2)
-            v_p = (hy[:, :, None, :] * d_basis4).sum(axis=1)
-            d_aw_p = (hy * u_p).sum(axis=1)  # [M, K]
-            d_y_p = (dhy * u_p).sum(axis=1) * aw[:, i, :]
+            # Both big reductions run over the LEADING wy axis (axis=1):
+            #   V_p[m, x, k]  = Σ_y  hy·d_basis
+            #   S2_p[m, x, k] = Σ_y dhy·d_basis
+            # and every query grad follows from them with [M, wxp, K]-sized
+            # ops — the old formulation's U_p = Σ_x hx·d_basis reduced over
+            # the SUBLANE axis, which Mosaic materializes as a full-size
+            # product + cross-sublane reduce (an extra traversal of the
+            # [M, wy, wxp, K] tensor per point; the kernel is VMEM-traffic
+            # bound, see tools/bench_vpu_model.py):
+            #   d_aw = Σ_x hx·V_p        (= Σ_yx hy·hx·db)
+            #   d_x  = a·Σ_x dhx·V_p
+            #   d_y  = a·Σ_x hx·S2_p     (= a·Σ_yx dhy·hx·db)
+            v_p = (hy[:, :, None, :] * d_basis4).sum(axis=1)  # [M, wxp, K]
+            s2_p = (dhy[:, :, None, :] * d_basis4).sum(axis=1)
+            d_aw_p = (hx * v_p).sum(axis=1)  # [M, K]
+            d_y_p = (hx * s2_p).sum(axis=1) * aw[:, i, :]
             d_x_p = (dhx * v_p).sum(axis=1) * aw[:, i, :]
             dq_ref[0, 0, :, 0 * lp + i, :] = d_y_p
             dq_ref[0, 0, :, 1 * lp + i, :] = d_x_p
             dq_ref[0, 0, :, 2 * lp + i, :] = d_aw_p
             hyw = hy * av
             term = hyw[:, :, None, :] * hx[:, None, :, :]
-            basis = term if basis is None else basis + term
+            if p % 2 == 0:
+                basis0 = term if basis0 is None else basis0 + term
+            else:
+                basis1 = term if basis1 is None else basis1 + term
+        basis = basis0 if basis1 is None else basis0 + basis1
         basis = basis.reshape(m, wy * wxp, k).astype(cdt)
         dwin_refs[v][...] = jax.lax.dot_general(
             g, basis,
