@@ -111,6 +111,13 @@ class DINOConfig:
     # batches on bigger-HBM parts.
     enc_selective_remat: bool = False
     backbone_remat: bool = False  # recompute backbone activations in bwd
+    # Keep the ENCODER residual stream in compute_dtype between layers (the
+    # LayerNorms output compute_dtype; their mean/var stats stay f32 inside
+    # flax's _compute_stats). Halves the stream/LN/residual HBM traffic of
+    # the 25k-token encoder. Offset/attention heads still read the stream
+    # through an explicit f32 cast (layers.py sampling_offsets), so sampling
+    # coordinates keep full precision. Off by default: measured A/B knob.
+    enc_stream_bf16: bool = False
     # encoder deformable attention: gather | patch | tiled | pallas | pallas2
     msda_impl: str = "gather"
     # decoder cross-attention: gather | patch | sep | sep_pallas
@@ -225,6 +232,7 @@ class DINOConfig:
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             enc_selective_remat=getattr(cfg, "enc_selective_remat", False),
             backbone_remat=getattr(cfg, "backbone_remat", False),
+            enc_stream_bf16=getattr(cfg, "enc_stream_bf16", False),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
             msda_margin=getattr(cfg, "msda_margin", 8),
@@ -254,10 +262,12 @@ class DeformableEncoderLayer(nn.Module):
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
-        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn_out)
+        sd = c.compute_dtype if c.enc_stream_bf16 else None
+        src = nn.LayerNorm(epsilon=1e-5, dtype=sd, name="norm1")(src + attn_out)
         return FFN(
             d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
-            activation=c.activation, compute_dtype=c.compute_dtype, name="ffn",
+            activation=c.activation, compute_dtype=c.compute_dtype,
+            stream_dtype=sd, name="ffn",
         )(src, deterministic=deterministic)
 
 

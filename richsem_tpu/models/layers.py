@@ -287,6 +287,9 @@ class FFN(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
     compute_dtype: jnp.dtype = jnp.float32
+    # Output/stream dtype of the closing LayerNorm (None → promote to f32).
+    # The LN statistics are computed in f32 either way (flax _compute_stats).
+    stream_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -296,4 +299,6 @@ class FFN(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, dtype=self.compute_dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
+        return nn.LayerNorm(
+            epsilon=1e-5, dtype=self.stream_dtype, name="norm"
+        )(x + h)
