@@ -156,3 +156,23 @@ def test_small_dn_number_rejected():
     DINOConfig.from_config(
         _tiny_cfg_dict(use_dn=True, dn_number=20, dn_force_budget=True)
     )
+
+
+def test_enc_stream_bf16_close_to_f32_and_finite():
+    # bf16 encoder residual stream (LN stats stay f32): outputs must stay
+    # finite and close to the f32-stream model with identical params.
+    cfg32 = _lang_cfg()
+    model, params, images, mask, text_embed = _build(cfg32)
+    out32 = model.apply(params, images, mask, text_embed=text_embed, train=False)
+
+    cfgbf = _lang_cfg(enc_stream_bf16=True, compute_dtype="bfloat16")
+    dcfg = DINOConfig.from_config(cfgbf)
+    dcfg = type(dcfg)(**{**dcfg.__dict__, "clip_embed_dim": 16})
+    model_bf = DINO(dcfg)
+    outbf = model_bf.apply(params, images, mask, text_embed=text_embed, train=False)
+
+    a = np.asarray(out32["pred_logits"], np.float32)
+    b = np.asarray(outbf["pred_logits"], np.float32)
+    assert np.isfinite(b).all()
+    # bf16 stream rounding: agreement to ~1e-1 absolute on logits at init
+    assert np.max(np.abs(a - b)) < 0.5, np.max(np.abs(a - b))
