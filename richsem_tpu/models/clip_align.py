@@ -136,8 +136,11 @@ def clip_teacher_box_targets(
         spatial.astype(jnp.float32), boxes_xyxy, output_size=grid,
         spatial_scale=1.0 / 32.0,
         # detectron2-exact adaptive grid (reference: ROIAlign(…, 0,
-        # aligned=True), richsem.py:878); free on the matmul path
+        # aligned=True), richsem.py:878); free on the matmul path — and
+        # only implemented there, so pin it (auto would pick gather on
+        # maps beyond _MATMUL_MAX_GRID and raise at trace time)
         sampling_ratio=0,
+        method="matmul",
     )  # [B, K, grid, grid, 2048]
     pooled = clip_model.apply(
         clip_params,

@@ -149,6 +149,12 @@ def _roi_align_matmul(
             + bin_sz[..., None, None] * (bins[:, None] + frac[..., None, :])
         )
         samp_w = jnp.where(active, 1.0 / ng[..., None], 0.0)  # [B, R, nmax]
+        if sampling_ratio == 0:
+            # detectron2 adaptive grid with extent <= 0: roi_bin_grid =
+            # ceil(extent/o) <= 0, the sample loops never execute and the
+            # bin is 0/max(count,1) = 0 — zero the whole axis so degenerate
+            # boxes produce exact zeros instead of sampling their start pt
+            samp_w = samp_w * (extent > 0.0)[..., None]
         c0 = jnp.floor(coord)
         d = coord - c0
         c0i = c0.astype(jnp.int32)

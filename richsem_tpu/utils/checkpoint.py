@@ -77,7 +77,10 @@ def guard_converted_checkpoint(cfg, pretrained: Any, logger=None) -> None:
         "tiled", "pallas", "pallas2",
     )
     clamped = bool(getattr(cfg, "msda_clamp_offsets", True))
-    if not (windowed or clamped):
+    # the clamp only ever fires inside the windowed-kernel branch
+    # (layers.py applies it under use_tiled only); with an exact gather/sep
+    # encoder the flag is inert, so a converted checkpoint is safe as-is.
+    if not windowed:
         return
     eval_only = bool(getattr(cfg, "eval", False)) or bool(
         getattr(cfg, "test", False)

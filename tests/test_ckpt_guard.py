@@ -57,6 +57,18 @@ def test_exact_config_passes_untouched():
     assert cfg.msda_impl == "gather"
 
 
+def test_clamp_flag_inert_without_windowed_kernel():
+    # the clamp only applies inside the windowed-kernel branch; with
+    # msda_impl='gather' the flag is a no-op, so training from a converted
+    # checkpoint must NOT be refused (ADVICE r4 #1)
+    cfg = _cfg(msda_impl="gather", msda_clamp_offsets=True)
+    guard_converted_checkpoint(cfg, TAGGED)  # must not raise
+    assert cfg.msda_impl == "gather"
+    cfg = _cfg(msda_impl="sep", msda_clamp_offsets=True)
+    guard_converted_checkpoint(cfg, TAGGED)
+    assert cfg.msda_impl == "sep"
+
+
 def test_untagged_pickle_untouched():
     cfg = _cfg(eval=True)
     guard_converted_checkpoint(cfg, {"params": {}})

@@ -57,6 +57,24 @@ def test_batched_rois_shape():
     assert out.shape == (2, 7, 7, 7, 5)
 
 
+def test_adaptive_degenerate_box_is_zero():
+    """detectron2's adaptive grid on a box with extent <= 0 runs an empty
+    sample loop and emits 0 (count = max(grid, 1)); the matmul path must
+    match instead of bilinearly sampling the start point (ADVICE r4 #3)."""
+    feats = jnp.ones((1, 8, 8, 2)) * 3.0
+    boxes = jnp.asarray(
+        [[[4.0, 4.0, 4.0, 6.0],    # zero width
+          [4.0, 4.0, 6.0, 4.0],    # zero height
+          [5.0, 5.0, 3.0, 7.0],    # negative width
+          [2.0, 2.0, 6.0, 6.0]]]   # healthy control
+    )
+    out = np.asarray(
+        roi_align(feats, boxes, 2, sampling_ratio=0, method="matmul")
+    )
+    np.testing.assert_allclose(out[0, :3], 0.0, atol=0)
+    np.testing.assert_allclose(out[0, 3], 3.0, rtol=1e-6)
+
+
 def test_matmul_matches_gather():
     """The MXU interpolation-matrix path agrees with the 4-tap gather path
     on random features and boxes (incl. partially out-of-bounds boxes), at
