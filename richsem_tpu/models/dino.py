@@ -766,17 +766,24 @@ class DINO(nn.Module):
             new_ref = nn.sigmoid(delta + inverse_sigmoid(ref))
             references.append(new_ref)  # use_detached_boxes_dec_out=False
             ref = jax.lax.stop_gradient(new_ref)
-            hs_layers.append(self.decoder_norm(tgt))
+            hs_layers.append(tgt)
 
         # ---- per-layer outputs ------------------------------------------
-        all_coords = []
-        all_logits = []
-        for lid, (h, r) in enumerate(zip(hs_layers, references[:-1])):
-            coord = nn.sigmoid(
-                self.bbox_embed(h).astype(jnp.float32) + inverse_sigmoid(r)
-            )
-            all_coords.append(coord)
-            all_logits.append(self._class_logits(h, text_embed))
+        # One stacked program per head instead of n_dec separate ones: the
+        # decoder layers share decoder_norm / bbox_embed / class head
+        # (dec_pred_*_embed_share=True), so stacking the 6 layer outputs
+        # into a [Ld, B, QT, ·] tensor turns 18 medium matmuls into 3
+        # MXU-shaped ones — identical math (all heads are per-token).
+        hs_stack = self.decoder_norm(jnp.stack(hs_layers))  # [Ld, B, QT, C]
+        hs_layers = list(hs_stack)
+        ref_stack = jnp.stack(references[:-1])  # [Ld, B, QT, 4]
+        coord_stack = nn.sigmoid(
+            self.bbox_embed(hs_stack).astype(jnp.float32)
+            + inverse_sigmoid(ref_stack)
+        )
+        logit_stack = self._class_logits(hs_stack, text_embed)
+        all_coords = list(coord_stack)
+        all_logits = list(logit_stack)
 
         clip_hs_layers: Dict[int, jnp.ndarray] = {}
         clip_logits_layers: Dict[int, jnp.ndarray] = {}
@@ -785,19 +792,22 @@ class DINO(nn.Module):
             # layers when two_stage_cls / distill_aux_layers need them
             # (richsem.py:721 projects the full hs stack), else final only
             need_all = (c.two_stage_cls and train) or c.distill_aux_layers
-            layer_ids = (
+            layer_ids = list(
                 range(len(hs_layers)) if need_all else [len(hs_layers) - 1]
             )
-            for lid in layer_ids:
-                ch = l2_normalize(
-                    self.clip_visual_proj(hs_layers[lid]).astype(jnp.float32)
-                )
-                clip_hs_layers[lid] = ch
-                if text_embed is not None:
-                    t = l2_normalize(text_embed.astype(jnp.float32))
-                    clip_logits_layers[lid] = jnp.exp(self.logit_scale) * (
-                        ch @ t.T
-                    )
+            # stacked projection (same sharing argument as the heads above)
+            sel = hs_stack if need_all else hs_stack[-1:]
+            ch_stack = l2_normalize(
+                self.clip_visual_proj(sel).astype(jnp.float32)
+            )
+            cl_stack = None
+            if text_embed is not None:
+                t = l2_normalize(text_embed.astype(jnp.float32))
+                cl_stack = jnp.exp(self.logit_scale) * (ch_stack @ t.T)
+            for i, lid in enumerate(layer_ids):
+                clip_hs_layers[lid] = ch_stack[i]
+                if cl_stack is not None:
+                    clip_logits_layers[lid] = cl_stack[i]
             last = len(hs_layers) - 1
             out["pred_clip_embed"] = clip_hs_layers[last][:, num_dn:]
             if num_dn:
