@@ -118,6 +118,10 @@ class DINOConfig:
     # through an explicit f32 cast (layers.py sampling_offsets), so sampling
     # coordinates keep full precision. Off by default: measured A/B knob.
     enc_stream_bf16: bool = False
+    # Fused Pallas encoder tail (residual+LN1 -> FFN -> LN2 in VMEM,
+    # ops/fused_ffn.py). Identical math to the flax composition; TPU only
+    # (CPU runs the XLA composition with the same param tree).
+    enc_fused_tail: bool = True
     # encoder deformable attention: gather | patch | tiled | pallas | pallas2
     msda_impl: str = "gather"
     # decoder cross-attention: gather | patch | sep | sep_pallas
@@ -233,6 +237,7 @@ class DINOConfig:
             enc_selective_remat=getattr(cfg, "enc_selective_remat", False),
             backbone_remat=getattr(cfg, "backbone_remat", False),
             enc_stream_bf16=getattr(cfg, "enc_stream_bf16", False),
+            enc_fused_tail=getattr(cfg, "enc_fused_tail", True),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
             msda_margin=getattr(cfg, "msda_margin", 8),
@@ -244,6 +249,50 @@ class DINOConfig:
 
 
 _CLS_BIAS = -math.log((1 - 0.01) / 0.01)  # focal prior, richsem.py:332-334
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm params (same names/inits as nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense params (same names/inits as nn.Dense)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel", nn.initializers.lecun_normal(),
+                (self.in_dim, self.out_dim),
+            ),
+            self.param("bias", nn.initializers.zeros, (self.out_dim,)),
+        )
+
+
+class _FFNParams(nn.Module):
+    """Declares the FFN module's param tree (linear1/linear2/norm)."""
+
+    d_model: int
+    d_ffn: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.d_model, self.d_ffn, name="linear1")()
+        w2, b2 = _DenseParams(self.d_ffn, self.d_model, name="linear2")()
+        s, b = _LNParams(self.d_model, name="norm")()
+        return w1, b1, w2, b2, s, b
 
 
 class DeformableEncoderLayer(nn.Module):
@@ -262,13 +311,45 @@ class DeformableEncoderLayer(nn.Module):
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
-        sd = c.compute_dtype if c.enc_stream_bf16 else None
-        src = nn.LayerNorm(epsilon=1e-5, dtype=sd, name="norm1")(src + attn_out)
-        return FFN(
-            d_model=c.hidden_dim, d_ffn=c.dim_feedforward, dropout=c.dropout,
-            activation=c.activation, compute_dtype=c.compute_dtype,
-            stream_dtype=sd, name="ffn",
-        )(src, deterministic=deterministic)
+        if c.enc_stream_bf16 or c.activation != "relu" or (
+            c.dropout > 0.0 and not deterministic
+        ):
+            # knob variants keep the flax-module tail
+            sd = c.compute_dtype if c.enc_stream_bf16 else None
+            src = nn.LayerNorm(
+                epsilon=1e-5, dtype=sd, name="norm1"
+            )(src + attn_out)
+            return FFN(
+                d_model=c.hidden_dim, d_ffn=c.dim_feedforward,
+                dropout=c.dropout, activation=c.activation,
+                compute_dtype=c.compute_dtype, stream_dtype=sd, name="ffn",
+            )(src, deterministic=deterministic)
+        # Default f32-stream tail: residual+LN1 -> FFN -> residual+LN2 in
+        # one Pallas kernel (the [N, d_ffn] hidden never leaves VMEM; the
+        # backward recomputes it per block — ops/fused_ffn.py). Params are
+        # declared through holder modules with the exact names/inits of the
+        # flax composition, so checkpoints and converters are unaffected.
+        from richsem_tpu.ops.fused_ffn import (
+            fused_encoder_tail,
+            xla_encoder_tail,
+        )
+
+        s1, sb1 = _LNParams(c.hidden_dim, name="norm1")()
+        w1, b1, w2, b2, s2, sb2 = _FFNParams(
+            c.hidden_dim, c.dim_feedforward, name="ffn"
+        )()
+        fn = (
+            fused_encoder_tail
+            if c.enc_fused_tail and jax.default_backend() == "tpu"
+            else xla_encoder_tail
+        )
+        b, s_len, d = src.shape
+        y = fn(
+            src.astype(jnp.float32).reshape(b * s_len, d),
+            attn_out.astype(jnp.float32).reshape(b * s_len, d),
+            w1, b1, w2, b2, s1, sb1, s2, sb2, 1e-5, c.compute_dtype,
+        )
+        return y.reshape(b, s_len, d)
 
 
 class DeformableDecoderLayer(nn.Module):
