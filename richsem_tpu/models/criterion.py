@@ -567,10 +567,11 @@ def set_criterion(
         dn_fed = lambda r: fed_ids_for(
             r, dn_col, dn_meta["pos_labels"], dn_targets_valid
         )
+        dn_fids = dn_fed(rngs[1]) if use_fed_loss else None
         d = loss_labels(
             dn_out["pred_logits"], dn_col, dn_meta["pos_labels"],
             dn_targets_valid, dn_nb, focal_alpha,
-            dn_fed(rngs[1]) if use_fed_loss else None,
+            dn_fids,
             query_mask=dn_qmask,
         )
         d.update(
@@ -578,10 +579,17 @@ def set_criterion(
                        dn_targets_valid, dn_nb)
         )
         if has_distill and distill_type == "clip_logits" and "pred_clip_logits" in dn_out:
+            # use_fed_on_kd restricts the DN KL to the SAME fed class set
+            # as the DN focal loss — the reference computes fed inds once
+            # per loss_labels call and applies them to both the focal
+            # one-hot and the kd logits (richsem.py:938-1000); found by the
+            # production-width parity case (r5): ours previously ignored
+            # fed_on_kd on the DN set entirely.
             d["loss_distill"] = distill_loss_kl(
                 dn_out["pred_clip_logits"], dn_col,
                 dn_meta.get("pos_clip_valid", dn_targets_valid),
                 dn_meta["pos_clip_logits"], dn_nb, use_dynamic_distill_weight,
+                dn_fids if use_fed_on_kd else None,
             )
         losses.update({f"{k}_dn": v for k, v in d.items()})
         for i, aux in enumerate(dn_out.get("aux_outputs", [])):

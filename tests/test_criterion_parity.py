@@ -358,3 +358,28 @@ def test_weighted_total_parity(monkeypatch):
         {k: jnp.float32(v) for k, v in ours.items()}, wd
     ))
     np.testing.assert_allclose(total_ours, total_ref, rtol=2e-4)
+
+
+def test_production_width_parity(monkeypatch):
+    """VERDICT r4 #7: the same parity at production-like widths — C=256,
+    Q=300, G=60 (55/40 valid), N_AUX=5, fed set 50-wide, DN group — where
+    accumulation order and the Gumbel-top-k fed replacement could drift.
+    Same rtol as the small cases (2e-4 in _compare), no tolerance shrink."""
+    import tests.test_criterion_parity as M
+
+    monkeypatch.setattr(M, "Q", 300)
+    monkeypatch.setattr(M, "C", 256)
+    monkeypatch.setattr(M, "G", 60)
+    monkeypatch.setattr(M, "COUNTS", [55, 40])
+    monkeypatch.setattr(M, "N_AUX", 5)
+    fed_ids = sorted(
+        np.random.default_rng(7).choice(256, 50, replace=False).tolist()
+    )
+    monkeypatch.setattr(M, "FED_IDS", fed_ids)
+    case = M._rand_case(11, distill=True, dn_groups=1)
+    kw = dict(distill=True, fed=True, dynamic_weight=True, fed_on_kd=True)
+    ref = M._run_reference(case, monkeypatch, **kw)
+    ours = M._run_ours(case, monkeypatch, **kw)
+    assert "loss_ce_4" in ref  # all five aux sets present
+    n = M._compare(ref, ours)
+    assert n >= 7 * 5  # final + 5 aux + interm, each ce/bbox/giou/xy/hw
