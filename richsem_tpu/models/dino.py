@@ -418,7 +418,17 @@ class ClipAlignHead(nn.Module):
                          name="dino_visual_proj")(hs)
         v = l2_normalize(v.astype(jnp.float32))
         t = l2_normalize(text_embed.astype(jnp.float32))
-        return jnp.exp(logit_scale) * (v @ t.T)
+        # the [.., l_dim] @ [C, l_dim]^T dot rides the MXU in compute_dtype
+        # with f32 accumulation (mixed-precision policy: normalize stats in
+        # f32, matmuls in compute_dtype — an f32 dot runs at 1/8 MXU rate
+        # and this head spans 50k tokens on the two-stage selection path)
+        cd = c.compute_dtype
+        logits = jax.lax.dot_general(
+            v.astype(cd), t.astype(cd),
+            dimension_numbers=(((v.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.exp(logit_scale) * logits
 
 
 class DINO(nn.Module):

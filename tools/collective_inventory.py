@@ -217,7 +217,7 @@ def weak_scaling():
             "size": jnp.asarray([[h, w]] * b, jnp.int32),
             "is_extra": jnp.zeros((b,), bool),
         }
-        mesh = make_mesh(data=n, model=1)
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
         with jax.set_mesh(mesh):
             bs_shard = batch_sharding(mesh)
             rep = replicated(mesh)
