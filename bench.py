@@ -79,8 +79,6 @@ def main() -> None:
     # fit bs4 but measured 1.9 img/s vs 3.7 at bs2: v5e HBM-wall scheduling)
     cfg.backbone_remat = BATCH >= 3 or os.environ.get("BENCH_BB_REMAT") == "1"
     cfg.enc_selective_remat = BATCH >= 3 or os.environ.get("BENCH_SEL_REMAT") == "1"
-    # bf16 encoder residual stream (LN stats stay f32) — measured A/B knob
-    cfg.enc_stream_bf16 = os.environ.get("BENCH_STREAM_BF16") == "1"
     # layer-count ablations: step-time slope vs layer count gives the TRUE
     # in-model per-layer cost (microbenchmarks miss scheduling interactions)
     if os.environ.get("BENCH_ENC_LAYERS"):

@@ -111,13 +111,10 @@ class DINOConfig:
     # batches on bigger-HBM parts.
     enc_selective_remat: bool = False
     backbone_remat: bool = False  # recompute backbone activations in bwd
-    # Keep the ENCODER residual stream in compute_dtype between layers (the
-    # LayerNorms output compute_dtype; their mean/var stats stay f32 inside
-    # flax's _compute_stats). Halves the stream/LN/residual HBM traffic of
-    # the 25k-token encoder. Offset/attention heads still read the stream
-    # through an explicit f32 cast (layers.py sampling_offsets), so sampling
-    # coordinates keep full precision. Off by default: measured A/B knob.
-    enc_stream_bf16: bool = False
+    # (enc_stream_bf16 — a bf16 encoder residual stream — was RETIRED in
+    # round 5: measured +0.6% (inside the noise band), convergence-
+    # equivalent in the A/B harness, and redundant once the fused tail
+    # removed the same LN/FFN stream traffic without a numerics change.)
     # Fused Pallas encoder tail (residual+LN1 -> FFN -> LN2 in VMEM,
     # ops/fused_ffn.py). Identical math to the flax composition; TPU only
     # (CPU runs the XLA composition with the same param tree).
@@ -161,28 +158,11 @@ class DINOConfig:
             raise NotImplementedError(
                 "use_clip_visual_query requires use_language=True"
             )
-        if (
-            getattr(cfg, "use_dn", True)
-            and 0 < cfg.dn_number < 50
-            and not getattr(cfg, "dn_force_budget", False)
-        ):
-            # The reference reinterprets small dn_number as a GROUP count
-            # (dn_components.py:27-39: after dn_number*=2, values < 100 are
-            # used directly as the pos/neg group multiplier, so the DN pad
-            # is 2·2·dn_number·max_gt — it grows with the batch's GT count).
-            # Our static-shape CDN implements the budget branch
-            # (dn_number >= 50 ⇒ groups = dn_number // max_gt, pad
-            # 2·dn_number), which every shipped recipe uses (dn_number=100).
-            # Training a dn_number<50 config here would silently run
-            # different math, so reject loudly (repo fail-loud policy).
-            raise NotImplementedError(
-                f"dn_number={cfg.dn_number} < 50 selects the reference's "
-                "group-count CDN semantics (dn_components.py:27-39), which "
-                "richsem_tpu does not implement (static-shape budget "
-                "semantics only, dn_number >= 50). Use dn_number >= 50, "
-                "use_dn=False, or set dn_force_budget=True to knowingly "
-                "train budget semantics at a small budget (tests do this)."
-            )
+        # dn_number < 50 selects the reference's group-count CDN semantics
+        # (dn_components.py:27-39): implemented since round 5 in
+        # models/dn.py (prepare_cdn(group_mode=True), engine.py routes it);
+        # the static DN pad is then 4·dn_number·max_gt_per_image. Tests can
+        # still force budget semantics at small budgets (dn_force_budget).
         if getattr(cfg, "use_clip_visual_query", False) and not cfg.use_visual_distill:
             # the CLIP spatial map the query crop reads only exists on the
             # distill path (richsem.py:614-629) — without it the knob would
@@ -236,7 +216,6 @@ class DINOConfig:
             use_checkpoint=getattr(cfg, "use_checkpoint", False),
             enc_selective_remat=getattr(cfg, "enc_selective_remat", False),
             backbone_remat=getattr(cfg, "backbone_remat", False),
-            enc_stream_bf16=getattr(cfg, "enc_stream_bf16", False),
             enc_fused_tail=getattr(cfg, "enc_fused_tail", True),
             msda_impl=getattr(cfg, "msda_impl", "gather"),
             dec_msda_impl=getattr(cfg, "dec_msda_impl", "sep"),
@@ -311,18 +290,13 @@ class DeformableEncoderLayer(nn.Module):
             name="self_attn",
         )(src + pos, reference_points, src, spatial_shapes, pad_mask)
         attn_out = nn.Dropout(c.dropout)(attn_out, deterministic=deterministic)
-        if c.enc_stream_bf16 or c.activation != "relu" or (
-            c.dropout > 0.0 and not deterministic
-        ):
+        if c.activation != "relu" or (c.dropout > 0.0 and not deterministic):
             # knob variants keep the flax-module tail
-            sd = c.compute_dtype if c.enc_stream_bf16 else None
-            src = nn.LayerNorm(
-                epsilon=1e-5, dtype=sd, name="norm1"
-            )(src + attn_out)
+            src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn_out)
             return FFN(
                 d_model=c.hidden_dim, d_ffn=c.dim_feedforward,
                 dropout=c.dropout, activation=c.activation,
-                compute_dtype=c.compute_dtype, stream_dtype=sd, name="ffn",
+                compute_dtype=c.compute_dtype, name="ffn",
             )(src, deterministic=deterministic)
         # Default f32-stream tail: residual+LN1 -> FFN -> residual+LN2 in
         # one Pallas kernel (the [N, d_ffn] hidden never leaves VMEM; the

@@ -44,20 +44,34 @@ def prepare_cdn(
     num_classes: int = 1204,
     num_queries: int = 900,
     check_pos_dn: bool = False,
+    group_mode: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Returns (dn_labels [B,P], dn_boxes_unsig [B,P,4], attn_mask [B,QT,QT],
-    dn_meta) with P = 2·dn_number, QT = P + num_queries.
+    dn_meta) with P = 2·dn_number (budget) or 4·dn_number·G (group mode),
+    QT = P + num_queries.
+
+    ``group_mode`` implements the reference's dn_number<50 branch
+    (dn_components.py:27-39): after its internal ×2, a value < 100 is used
+    DIRECTLY as the group count — groups = 2·dn_number independent of the
+    batch GT count, active slots = groups·2·m (dynamic in m), padded here
+    to the static worst case groups·2·G. The default budget branch
+    (dn_number ≥ 50 ⇒ groups = dn_number // m) is what every shipped
+    recipe uses (dn_number=100).
 
     dn_meta: ``match_gt [B,P]`` (gt index for active *positive* slots, else
     −1), ``slot_active [B,P]``, ``num_groups`` (traced scalar, the
     normalization factor for DN losses — criterion parity richsem.py:1164).
     """
     b, g_slots = gt_labels.shape
-    pad = 2 * dn_number
+    pad = (2 * 2 * dn_number * g_slots) if group_mode else (2 * dn_number)
 
     counts = gt_valid.sum(axis=1)  # [B]
     m = jnp.maximum(counts.max(), 1)  # batch max GT
-    groups = jnp.clip(dn_number // m, 1, dn_number)  # dyn scalar
+    if group_mode:
+        # empty batch edge: the reference collapses to one group
+        groups = jnp.where(counts.max() == 0, 1, 2 * dn_number)
+    else:
+        groups = jnp.clip(dn_number // m, 1, dn_number)  # dyn scalar
 
     slot = jnp.arange(pad)
     group_id = slot // (2 * m)  # [P]

@@ -145,6 +145,12 @@ def make_loss_fn(model, cfg, clip_model=None):
         dn_args = {}
         dn_meta = None
         if use_dn:
+            # dn_number < 50 selects the reference's group-count semantics
+            # (dn_components.py:27-39) unless tests force the budget branch
+            dn_group_mode = (
+                0 < cfg.dn_number < 50
+                and not getattr(cfg, "dn_force_budget", False)
+            )
             dn_labels, dn_boxes_unsig, dn_attn, dn_meta = prepare_cdn(
                 batch["labels"], batch["boxes"], batch["valid"], rng_dn,
                 dn_number=cfg.dn_number,
@@ -153,6 +159,7 @@ def make_loss_fn(model, cfg, clip_model=None):
                 num_classes=cfg.num_classes,
                 num_queries=cfg.num_queries,
                 check_pos_dn=cfg.check_pos_dn,
+                group_mode=dn_group_mode,
             )
             dn_args = dict(
                 dn_labels=dn_labels,
@@ -211,7 +218,7 @@ def make_loss_fn(model, cfg, clip_model=None):
         if dn_meta is not None:
             dn_meta = expand_dn_targets(
                 batch["labels"], batch["boxes"], batch["valid"], dn_meta,
-                2 * cfg.dn_number,
+                dn_labels.shape[1],
                 gt_clip_logits=batch.get("clip_logits"),
                 gt_clip_valid=batch.get("clip_valid"),
             )

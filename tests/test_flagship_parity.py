@@ -587,3 +587,73 @@ def test_cdn_layout_parity(monkeypatch):
         ~np.asarray(attn_mask[0]), ref_mask.numpy()
     )
     assert int(meta["num_groups"]) == ref_meta["num_dn_group"]
+
+
+def test_cdn_group_mode_layout_parity(monkeypatch):
+    """dn_number < 50: the reference's GROUP-COUNT branch
+    (dn_components.py:27-39 — the doubled value IS the group count).
+    dn_number=10 -> 20 groups of 2·m slots. With m = G = 4 the reference's
+    dynamic pad equals our static pad (4·10·4 = 160), so the comparison is
+    exact tensor equality under the same forced noise draws (r4 #9: the
+    loud rejection upgraded to real coverage)."""
+    _ensure_richsem_module()
+    NUMQ, NC, HID, DN = 10, 7, 16, 10
+    rng = np.random.default_rng(9)
+    label_table = rng.normal(size=(NC + 1, HID)).astype(np.float32)
+    counts = [4, 3]
+    targets = []
+    all_labels = np.full((2, 4), -1, np.int64)
+    all_boxes = np.zeros((2, 4, 4), np.float32)
+    for b, n in enumerate(counts):
+        lab = rng.integers(0, NC, n)
+        wh = rng.uniform(0.1, 0.3, (n, 2))
+        cxcy = rng.uniform(0.3, 0.7, (n, 2))
+        box = np.concatenate([cxcy, wh], -1).astype(np.float32)
+        all_labels[b, :n] = lab
+        all_boxes[b, :n] = box
+        targets.append({
+            "labels": torch.from_numpy(lab),
+            "boxes": torch.from_numpy(box),
+        })
+
+    ref_label_q, ref_box_q, ref_mask, ref_meta = _run_ref_cdn(
+        monkeypatch, targets, DN, 0.0, 1.0, NC, NUMQ, HID, label_table
+    )
+    assert ref_meta["num_dn_group"] == 2 * DN  # group-count branch
+    assert ref_meta["pad_size"] == 2 * DN * 2 * max(counts)
+
+    from richsem_tpu.models import dn as our_dn
+
+    real_uniform = jax.random.uniform
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), **kw: jnp.full(shape, 0.25, jnp.float32),
+    )
+    monkeypatch.setattr(
+        jax.random, "randint",
+        lambda key, shape, minval, maxval, **kw: jnp.full(shape, 1, jnp.int32),
+    )
+    try:
+        dn_labels, dn_boxes_unsig, attn_mask, meta = our_dn.prepare_cdn(
+            jnp.asarray(all_labels, jnp.int32), jnp.asarray(all_boxes),
+            jnp.asarray(all_labels >= 0), jax.random.PRNGKey(0),
+            dn_number=DN, label_noise_ratio=0.0, box_noise_scale=1.0,
+            num_classes=NC, num_queries=NUMQ, group_mode=True,
+        )
+    finally:
+        monkeypatch.setattr(jax.random, "uniform", real_uniform)
+
+    assert dn_labels.shape[1] == ref_meta["pad_size"]
+    emb = np.where(
+        np.asarray(dn_labels)[..., None] >= 0,
+        label_table[np.clip(np.asarray(dn_labels), 0, NC)],
+        0.0,
+    )
+    np.testing.assert_allclose(emb, ref_label_q.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dn_boxes_unsig), ref_box_q.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        ~np.asarray(attn_mask[0]), ref_mask.numpy()
+    )
+    assert int(meta["num_groups"]) == ref_meta["num_dn_group"]

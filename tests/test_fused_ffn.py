@@ -125,7 +125,9 @@ def test_grads_xla_vs_flax_f32(data):
 
 def test_encoder_layer_param_tree_unchanged():
     """The holder-module tail declares the exact same param tree as the
-    flax-module tail (checkpoint compatibility)."""
+    flax-module tail (checkpoint compatibility). The gelu variant takes
+    the flax-module branch, relu the holder branch; trees must agree
+    modulo the activation having no params."""
     from richsem_tpu.models.dino import DINOConfig, DeformableEncoderLayer
 
     rng = jax.random.PRNGKey(0)
@@ -135,15 +137,15 @@ def test_encoder_layer_param_tree_unchanged():
     shapes = ((8, 8),)
     mask = jnp.zeros((1, 64), bool)
     trees = {}
-    for knob in (False, True):
+    for act in ("relu", "gelu"):
         cfg = DINOConfig(
             hidden_dim=32, nheads=4, dim_feedforward=64,
-            num_feature_levels=1, enc_stream_bf16=knob,
+            num_feature_levels=1, activation=act,
         )
         params = DeformableEncoderLayer(cfg).init(
             rng, src, pos, ref, shapes, mask
         )
-        trees[knob] = jax.tree_util.tree_map(
+        trees[act] = jax.tree_util.tree_map(
             lambda x: (x.shape, str(x.dtype)), params
         )
-    assert trees[False] == trees[True]
+    assert trees["relu"] == trees["gelu"]

@@ -50,15 +50,16 @@ def build(cfg_over):
     from richsem_tpu.train.engine import create_train_state, make_train_step
     from richsem_tpu.train.optim import build_optimizer
 
-    cfg = ge._tiny_cfg_dict(
+    base = dict(
         num_classes=60, dn_labelbook_size=60, hidden_dim=128, nheads=8,
         enc_layers=3, dec_layers=3, num_queries=60, dim_feedforward=512,
         use_language=True, use_visual_distill=True, clip_embed_dim=64,
         clip_model="tiny-rn", fed_num_sample_cats=20, dn_number=20,
         compute_dtype="bfloat16", distill_max_boxes=12,
         lr=2e-4, num_select=30,
-        **cfg_over,
     )
+    base.update(cfg_over)
+    cfg = ge._tiny_cfg_dict(**base)
     model = DINO(DINOConfig.from_config(cfg))
     clip_model = CLIP(CLIPConfig(
         name="tiny-rn", embed_dim=64, vision_layers=(1, 1, 1, 1),
