@@ -383,3 +383,232 @@ def test_production_width_parity(monkeypatch):
     assert "loss_ce_4" in ref  # all five aux sets present
     n = M._compare(ref, ours)
     assert n >= 7 * 5  # final + 5 aux + interm, each ce/bbox/giou/xy/hw
+
+
+def test_criterion_grad_parity_dn_fed_distill(monkeypatch):
+    """Gradient parity THROUGH the criterion with forced fed/DN draws
+    (VERDICT r4 #2a, DN+fed+distill surface): d(weighted total)/d(every
+    prediction tensor) — final + aux + interm + the DN set, with fed(+kd)
+    and the dynamic distill weight active — via torch autograd on the
+    reference SetCriterion vs jax.grad on ours, same inputs, same
+    assignments. Complements tests/test_grad_parity.py (full detector,
+    no DN/fed) by covering the fabricated-index DN losses, the fed class
+    restriction, and the KL gradients."""
+    from __graft_entry__ import _tiny_cfg_dict
+    from richsem_tpu.models.criterion import build_weight_dict
+
+    case = _rand_case(21, distill=True, dn_groups=2)
+    kw = dict(distill=True, fed=True, dynamic_weight=True, fed_on_kd=True)
+    cfg = _tiny_cfg_dict(
+        num_classes=C, dec_layers=N_AUX + 1, use_dn=True, dn_number=100,
+        use_visual_distill=True, aux_loss=True, two_stage_type="standard",
+    )
+    wd = build_weight_dict(cfg)
+
+    # ---- reference side: leaf tensors with requires_grad --------------
+    richsem_mod = _ensure_richsem_module()
+    import importlib
+
+    matcher_mod = importlib.import_module("models.richsem.matcher")
+    fed_mod = importlib.import_module("models.richsem.fed_loss")
+    _patch_cuda(monkeypatch)
+    monkeypatch.setattr(
+        fed_mod, "get_fed_loss_inds",
+        lambda gt, n, c, w: torch.as_tensor(FED_IDS, dtype=torch.long),
+    )
+    matcher = matcher_mod.HungarianMatcher(
+        cost_class=2.0, cost_bbox=5.0, cost_giou=2.0, focal_alpha=0.25
+    )
+    crit = richsem_mod.SetCriterion(
+        num_classes=C, matcher=matcher, weight_dict={}, focal_alpha=0.25,
+        losses=["labels", "boxes"], distill_type="clip_logits",
+        distill_aux_layers=False, use_dynamic_distill_weight=True,
+        clip_distill_objective="gt", use_fed_loss=True,
+        fed_num_sample_cats=len(FED_IDS), use_fed_on_kd=True,
+    )
+    crit.fed_weight = torch.ones(C)
+    crit.train()
+
+    leaves = {}  # our-key -> torch tensor (requires_grad)
+
+    def leaf(key, arr):
+        t_ = torch.as_tensor(np.asarray(arr)).clone().requires_grad_(True)
+        leaves[key] = t_
+        return t_
+
+    targets = []
+    for i in range(B):
+        n = COUNTS[i]
+        targets.append({
+            "labels": torch.as_tensor(case["gt_labels"][i, :n]).long(),
+            "boxes": torch.as_tensor(case["gt_boxes"][i, :n]),
+            "clip_logits": torch.as_tensor(case["clip_logits"][i, :n]),
+            "clip_prompt": torch.zeros(n, 4),
+        })
+    outputs = {
+        "pred_logits": leaf("pred_logits", case["final"]["pred_logits"]),
+        "pred_boxes": leaf("pred_boxes", case["final"]["pred_boxes"]),
+        "pred_clip_logits": leaf(
+            "pred_clip_logits", case["final"]["pred_clip_logits"]
+        ),
+        "pred_hs": torch.zeros(B, Q, 8),  # gates distill; unused for grads
+        "aux_outputs": [
+            {
+                "pred_logits": leaf(f"aux{i}/pred_logits", a["pred_logits"]),
+                "pred_boxes": leaf(f"aux{i}/pred_boxes", a["pred_boxes"]),
+            }
+            for i, a in enumerate(case["aux"])
+        ],
+        "interm_outputs": {
+            "pred_logits": leaf(
+                "interm/pred_logits", case["interm"]["pred_logits"]
+            ),
+            "pred_boxes": leaf(
+                "interm/pred_boxes", case["interm"]["pred_boxes"]
+            ),
+        },
+    }
+    known = {
+        "pred_logits": leaf("dn/pred_logits", case["dn"]["pred_logits"]),
+        "pred_boxes": leaf("dn/pred_boxes", case["dn"]["pred_boxes"]),
+        "pred_clip_logits": leaf(
+            "dn/pred_clip_logits", case["dn"]["pred_clip_logits"]
+        ),
+        "pred_hs": torch.zeros(B, case["dn"]["pred_logits"].shape[1], 8),
+        "aux_outputs": [
+            {
+                "pred_logits": leaf(
+                    f"dn_aux{i}/pred_logits", a["pred_logits"]
+                ),
+                "pred_boxes": leaf(f"dn_aux{i}/pred_boxes", a["pred_boxes"]),
+            }
+            for i, a in enumerate(case["dn"]["aux_outputs"])
+        ],
+    }
+    outputs["dn_meta"] = {
+        "output_known_lbs_bboxes": known,
+        "num_dn_group": case["dn_groups"],
+        "pad_size": case["dn_groups"] * case["dn_single_pad"],
+    }
+    losses_ref = crit(outputs, targets)
+    total_ref = sum(
+        w * losses_ref[k] for k, w in wd.items() if k in losses_ref
+    )
+    total_ref.backward()
+    ref_grads = {
+        k: (t_.grad.numpy() if t_.grad is not None
+            else np.zeros(t_.shape, np.float32))
+        for k, t_ in leaves.items()
+    }
+
+    # ---- ours: jax.grad wrt the same pytree ---------------------------
+    import richsem_tpu.models.criterion as crit_mod
+    from richsem_tpu.models.criterion import weighted_loss
+
+    ids = jnp.asarray(FED_IDS, jnp.int32)
+    mask = jnp.ones((len(FED_IDS),), bool)
+    monkeypatch.setattr(
+        crit_mod, "fed_loss_classes", lambda *a, **k: (ids, mask)
+    )
+    tree = {
+        "pred_logits": case["final"]["pred_logits"],
+        "pred_boxes": case["final"]["pred_boxes"],
+        "pred_clip_logits": case["final"]["pred_clip_logits"],
+        "aux": [
+            {"pred_logits": a["pred_logits"], "pred_boxes": a["pred_boxes"]}
+            for a in case["aux"]
+        ],
+        "interm": {k: case["interm"][k] for k in
+                   ("pred_logits", "pred_boxes")},
+        "dn": {
+            "pred_logits": case["dn"]["pred_logits"],
+            "pred_boxes": case["dn"]["pred_boxes"],
+            "pred_clip_logits": case["dn"]["pred_clip_logits"],
+            "aux": [
+                {"pred_logits": a["pred_logits"],
+                 "pred_boxes": a["pred_boxes"]}
+                for a in case["dn"]["aux_outputs"]
+            ],
+        },
+    }
+    tree = jax.tree.map(jnp.asarray, tree)
+    tgts = {
+        "labels": jnp.asarray(case["gt_labels"]),
+        "boxes": jnp.asarray(case["gt_boxes"]),
+        "valid": jnp.asarray(case["gt_valid"]),
+        "clip_logits": jnp.asarray(case["clip_logits"]),
+    }
+    groups = case["dn_groups"]
+    single_pad = case["dn_single_pad"]
+    pad = groups * single_pad
+    slot = np.arange(pad)
+    within = slot % single_pad
+    match_gt = np.where(
+        (within[None, :] < np.asarray(COUNTS)[:, None]), within[None, :], -1
+    ).astype(np.int32)
+    dn_meta0 = {
+        "match_gt": jnp.asarray(match_gt),
+        "num_groups": jnp.float32(groups),
+        "slot_in_use": jnp.ones((B, pad), bool),
+    }
+    dn_meta = expand_dn_targets(
+        tgts["labels"], tgts["boxes"], tgts["valid"], dn_meta0, pad,
+        gt_clip_logits=tgts.get("clip_logits"),
+    )
+
+    def total_fn(tr):
+        outputs = {
+            "pred_logits": tr["pred_logits"],
+            "pred_boxes": tr["pred_boxes"],
+            "pred_clip_logits": tr["pred_clip_logits"],
+            "aux_outputs": tr["aux"],
+            "interm_outputs": tr["interm"],
+            "dn_outputs": {
+                "pred_logits": tr["dn"]["pred_logits"],
+                "pred_boxes": tr["dn"]["pred_boxes"],
+                "pred_clip_logits": tr["dn"]["pred_clip_logits"],
+                "aux_outputs": tr["dn"]["aux"],
+            },
+        }
+        losses = set_criterion(
+            outputs, tgts, jax.random.PRNGKey(0),
+            num_classes=C, focal_alpha=0.25,
+            cost_class=2.0, cost_bbox=5.0, cost_giou=2.0,
+            matcher_type="HungarianMatcher",
+            use_fed_loss=True, fed_num_sample_cats=len(FED_IDS),
+            use_fed_on_kd=True, distill_type="clip_logits",
+            clip_distill_objective="gt", use_dynamic_distill_weight=True,
+            dn_meta=dn_meta,
+        )
+        return weighted_loss(
+            {k: v for k, v in losses.items()}, wd
+        )
+
+    total_ours, g = jax.value_and_grad(total_fn)(tree)
+    np.testing.assert_allclose(
+        float(total_ours), float(total_ref.detach()), rtol=5e-4
+    )
+    our_grads = {
+        "pred_logits": g["pred_logits"],
+        "pred_boxes": g["pred_boxes"],
+        "pred_clip_logits": g["pred_clip_logits"],
+        "interm/pred_logits": g["interm"]["pred_logits"],
+        "interm/pred_boxes": g["interm"]["pred_boxes"],
+        "dn/pred_logits": g["dn"]["pred_logits"],
+        "dn/pred_boxes": g["dn"]["pred_boxes"],
+        "dn/pred_clip_logits": g["dn"]["pred_clip_logits"],
+    }
+    for i in range(N_AUX):
+        our_grads[f"aux{i}/pred_logits"] = g["aux"][i]["pred_logits"]
+        our_grads[f"aux{i}/pred_boxes"] = g["aux"][i]["pred_boxes"]
+        our_grads[f"dn_aux{i}/pred_logits"] = g["dn"]["aux"][i]["pred_logits"]
+        our_grads[f"dn_aux{i}/pred_boxes"] = g["dn"]["aux"][i]["pred_boxes"]
+    checked = 0
+    for k, ref_g in sorted(ref_grads.items()):
+        got = np.asarray(our_grads[k], np.float32)
+        sc = max(np.abs(ref_g).max(), 1e-8)
+        np.testing.assert_allclose(
+            got, ref_g, rtol=2e-3, atol=2e-5 * sc, err_msg=k
+        )
+        checked += 1
+    assert checked == len(leaves) >= 14
