@@ -119,7 +119,8 @@ class DINOConfig:
     # ops/fused_ffn.py). Identical math to the flax composition; TPU only
     # (CPU runs the XLA composition with the same param tree).
     enc_fused_tail: bool = True
-    # encoder deformable attention: gather | patch | tiled | pallas | pallas2
+    # encoder deformable attention: gather | patch | tiled | pallas2
+    # ('pallas' v1 retired round 5 — alias routes to pallas2)
     msda_impl: str = "gather"
     # decoder cross-attention: gather | patch | sep | sep_pallas
     dec_msda_impl: str = "sep"

@@ -79,7 +79,11 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     compute_dtype: jnp.dtype = jnp.float32
-    impl: str = "gather"  # gather | patch | tiled | pallas | pallas2 | sep | sep_pallas
+    # gather | patch | tiled | pallas2 | sep | sep_pallas ('pallas' — the
+    # per-(qlevel,vlevel) v1 kernel — was retired in round 5: identical
+    # windowed semantics to pallas2 at ~4x the fwd cost, 34.8 vs 8.71
+    # ms/layer; the alias now routes to pallas2)
+    impl: str = "gather"
     tiled_margin: int = 8
     tiled_tile: Tuple[int, int] = (16, 16)  # swept optimum on v5e
     # Bound raw offsets to ±(margin − 0.5) when a windowed kernel is active.
@@ -143,8 +147,10 @@ class MSDeformAttn(nn.Module):
             from richsem_tpu.ops.ms_deform_attn_tiled import tiled_supported
 
             use_tiled = tiled_supported(spatial_shapes, self.tiled_tile)
-        if impl in ("pallas", "pallas2") and jax.default_backend() != "tpu":
-            # the fused kernels lower through Mosaic (TPU-only); the XLA
+        if impl == "pallas":  # retired v1 alias (see class docstring)
+            impl = "pallas2"
+        if impl == "pallas2" and jax.default_backend() != "tpu":
+            # the fused kernel lowers through Mosaic (TPU-only); the XLA
             # tiled composition has identical (clamped-window) semantics
             impl = "tiled"
         if use_tiled:
@@ -173,15 +179,6 @@ class MSDeformAttn(nn.Module):
             )
 
             out = ms_deform_attn_pallas2(
-                value, spatial_shapes, loc, attn, tile=self.tiled_tile,
-                margin=self.tiled_margin,
-            )
-        elif use_tiled and impl == "pallas":
-            from richsem_tpu.ops.ms_deform_attn_pallas import (
-                ms_deform_attn_tiled_pallas,
-            )
-
-            out = ms_deform_attn_tiled_pallas(
                 value, spatial_shapes, loc, attn, tile=self.tiled_tile,
                 margin=self.tiled_margin,
             )

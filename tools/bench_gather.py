@@ -113,8 +113,9 @@ def main():
             rec("enc_tiled_fwd", chain(ms_deform_attn_tiled, val, loc, aw))
             rec("enc_tiled_fwdbwd", chain_bwd(ms_deform_attn_tiled, val, loc, aw))
         if tag == "enc" and "pallas" in which:
-            from richsem_tpu.ops.ms_deform_attn_pallas import (
-                ms_deform_attn_tiled_pallas,
+            # v1 retired round 5; pallas2 is the windowed Mosaic kernel
+            from richsem_tpu.ops.ms_deform_attn_pallas2 import (
+                ms_deform_attn_pallas2 as ms_deform_attn_tiled_pallas,
             )
 
             rec("enc_pallas_fwd", chain(ms_deform_attn_tiled_pallas, val, loc, aw))

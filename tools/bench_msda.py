@@ -82,14 +82,7 @@ def main():
                 )
             )
             return core
-        if impl == "pallas":
-            from richsem_tpu.ops.ms_deform_attn_pallas import (
-                ms_deform_attn_tiled_pallas,
-            )
-
-            return lambda v, l, a: ms_deform_attn_tiled_pallas(
-                v, shapes, l, a, tile=tile, margin=margin
-            )
+        # 'pallas' (v1) retired round 5 — superseded by pallas2
         from richsem_tpu.ops.ms_deform_attn_pallas2 import (
             ms_deform_attn_pallas2,
         )
