@@ -149,3 +149,41 @@ def test_encoder_layer_param_tree_unchanged():
             lambda x: (x.shape, str(x.dtype)), params
         )
     assert trees["relu"] == trees["gelu"]
+
+
+def test_selective_remat_grads_match_plain():
+    """enc_selective_remat wraps the encoder layer in nn.remat with a
+    save-only-msda_out policy; with the holder-param tail the recompute
+    must reproduce the plain layer's gradients exactly (CPU, f32)."""
+    from richsem_tpu.models.dino import DINOConfig, DeformableEncoderLayer
+
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.normal(size=(1, 64, 32)) * 0.5, jnp.float32)
+    pos = jnp.asarray(rng.normal(size=(1, 64, 32)) * 0.5, jnp.float32)
+    ref = jnp.full((1, 64, 1, 2), 0.5)
+    shapes = ((8, 8),)
+    mask = jnp.zeros((1, 64), bool)
+    cfg = DINOConfig(hidden_dim=32, nheads=4, dim_feedforward=64,
+                     num_feature_levels=1)
+    layer = DeformableEncoderLayer(cfg)
+    params = layer.init(jax.random.PRNGKey(0), src, pos, ref, shapes, mask)
+
+    import flax.linen as nn_
+
+    remat_layer = nn_.remat(
+        DeformableEncoderLayer, static_argnums=(4, 6), prevent_cse=False,
+        policy=jax.checkpoint_policies.save_only_these_names("msda_out"),
+    )(cfg)
+
+    def loss(mod, p):
+        # deterministic passed explicitly: the remat wrapper's
+        # static_argnums=(4, 6) covers (spatial_shapes, deterministic)
+        return (mod.apply(p, src, pos, ref, shapes, mask, True) ** 2).sum()
+
+    g_plain = jax.grad(lambda p: loss(layer, p))(params)
+    g_remat = jax.grad(lambda p: loss(remat_layer, p))(params)
+    flat_a = jax.tree_util.tree_leaves(g_plain)
+    flat_b = jax.tree_util.tree_leaves(g_remat)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
